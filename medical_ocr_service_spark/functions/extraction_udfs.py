@@ -1,0 +1,267 @@
+"""Arrow pandas UDFs for the extraction core (the only executor-side Python).
+
+Three UDFs, all scalar pandas (Arrow-batched, never row-at-a-time Spark UDFs):
+
+  * strip_boilerplate_udf  — text-density + tag-ratio main-content extraction
+    (deterministic replacement for the reference's GPT-4o Vision read,
+    /root/reference/src/services/gpt-vision.service.js:45-99);
+  * layout_text_udf        — XY-cut reading-order reconstruction over page
+    layouts (replaces pdftoppm, /root/reference/src/services/pdf.service.js:17-109);
+  * extract_fields_udf     — regex/state-machine field extraction + confidence
+    fold (/root/reference/src/prompts/system.prompt.js:91-159,
+    src/workers/previsacion.worker.js:229-263,
+    src/services/gpt-vision.service.js:209-243).
+
+Written independently from the pure-Python golden oracle
+(medical_ocr_service_spark.corpus.golden); the pytest suite asserts exact
+agreement. Shared *constants* (thresholds, regex banks) come from config —
+they are the spec.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import config
+
+_WS = re.compile(r"\s+")
+_TAG = re.compile(config.TAG_REGEX)
+_TAG_COUNT = re.compile(config.TAG_COUNT_REGEX)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate strip
+# ---------------------------------------------------------------------------
+
+def _strip_one(raw: str) -> str:
+    kept = []
+    for line in raw.split("\n"):
+        n_tags = len(_TAG_COUNT.findall(line))
+        visible = _WS.sub(" ", _TAG.sub(" ", line)).strip()
+        if visible and len(visible) / (n_tags + 1.0) >= config.TEXT_DENSITY_THRESHOLD:
+            kept.append(visible)
+    return " ".join(kept)
+
+
+@F.pandas_udf(T.StringType())
+def strip_boilerplate_udf(texts: pd.Series) -> pd.Series:
+    # Fast path: spans without markup only need whitespace collapsing —
+    # fully vectorized. Markup spans go through the line-density scorer.
+    out = texts.str.replace(_WS, " ", regex=True).str.strip()
+    html_mask = texts.notna() & texts.str.contains("<", regex=False)
+    if html_mask.any():
+        out.loc[html_mask] = [_strip_one(t) for t in texts[html_mask]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XY-cut layout reading order
+# ---------------------------------------------------------------------------
+
+def _xy_groups(idx: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> list[np.ndarray] | None:
+    """Split block indices into groups separated by gaps >= XY_CUT_MIN_GAP."""
+    order = np.lexsort((hi[idx], lo[idx]))
+    s = idx[order]
+    groups: list[list[int]] = [[s[0]]]
+    cur_max = hi[s[0]]
+    for b in s[1:]:
+        if lo[b] - cur_max >= config.XY_CUT_MIN_GAP:
+            groups.append([b])
+            cur_max = hi[b]
+        else:
+            groups[-1].append(b)
+            cur_max = max(cur_max, hi[b])
+    if len(groups) < 2:
+        return None
+    return [np.array(g) for g in groups]
+
+
+def _xy_cut(idx, x0, y0, x1, y1) -> list[int]:
+    if len(idx) <= 1:
+        return list(idx)
+    groups = _xy_groups(idx, y0, y1)
+    if groups is None:
+        groups = _xy_groups(idx, x0, x1)
+    if groups is None:
+        order = np.lexsort((x0[idx], y0[idx]))
+        return list(idx[order])
+    out: list[int] = []
+    for g in groups:
+        out.extend(_xy_cut(g, x0, y0, x1, y1))
+    return out
+
+
+def _layout_one(layout_json: str) -> str:
+    blocks = json.loads(layout_json).get("blocks", [])
+    if not blocks:
+        return ""
+    x0 = np.array([b["x0"] for b in blocks])
+    y0 = np.array([b["y0"] for b in blocks])
+    x1 = np.array([b["x1"] for b in blocks])
+    y1 = np.array([b["y1"] for b in blocks])
+    order = _xy_cut(np.arange(len(blocks)), x0, y0, x1, y1)
+    return _WS.sub(" ", " ".join(blocks[i].get("text", "") for i in order)).strip()
+
+
+@F.pandas_udf(T.StringType())
+def layout_text_udf(layouts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if lj is None else _layout_one(lj) for lj in layouts],
+        index=layouts.index,
+        dtype=object,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field extraction + confidence fold
+# ---------------------------------------------------------------------------
+
+PRACTICA_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("item", T.IntegerType()),
+            T.StructField("descripcion", T.StringType()),
+            T.StructField("cantidad", T.IntegerType()),
+            T.StructField("confianza", T.DoubleType()),
+        ]
+    )
+)
+
+FIELDS_SCHEMA = T.StructType(
+    [
+        T.StructField("ruc", T.StringType()),
+        T.StructField("paciente_nombre", T.StringType()),
+        T.StructField("paciente_ci", T.StringType()),
+        T.StructField("fecha_orden", T.StringType()),
+        T.StructField("diagnostico_texto", T.StringType()),
+        T.StructField("diagnostico_codigo_cie", T.StringType()),
+        T.StructField("medico_matricula", T.StringType()),
+        T.StructField("matricula_valida", T.BooleanType()),
+        T.StructField("urgente", T.BooleanType()),
+        T.StructField("practicas", PRACTICA_TYPE),
+        T.StructField("practicas_fuente", T.StringType()),
+        T.StructField("confianza_extraccion", T.DoubleType()),
+    ]
+)
+
+_RUC = re.compile(r"RUC:\s*([\d\-]+)")
+_PAC = re.compile(r"Paciente:\s*(.+?)\s+CI[:\s]")
+_CI = re.compile(r"CI:\s*([\d.\-]+)")
+_FECHA = re.compile(r"\b(\d{2})/(\d{2})/(\d{4})\b")
+_DIAG = re.compile(r"Diagn[óo]stico:\s*(.+?)\s*\(([A-Z]\d{2}(?:\.\d)?)\)")
+_PRACT_SEG = re.compile(r"PRACTICAS:\s*(.+?)\.(?:\s|$)")
+_PRACT_ITEM = re.compile(r"^(.*?)(?:\s+x(\d+))?$")
+_NONNUM = re.compile(r"[.\-]")
+_MATRICULAS = [re.compile(p, re.IGNORECASE) for p in config.MATRICULA_PATTERNS]
+_URGENCY = re.compile(r"\b(" + "|".join(config.URGENCY_KEYWORDS) + r")\b", re.IGNORECASE)
+_NARRATIVE = [
+    (re.compile(p, re.IGNORECASE), name) for p, name in config.NARRATIVE_PRACTICE_PATTERNS
+]
+_W = config.CONFIDENCE_WEIGHTS
+_W_TOTAL = sum(_W.values())
+
+
+def _extract_one(text: str) -> dict:
+    m = _RUC.search(text)
+    ruc = m.group(1) if m else None
+    m = _PAC.search(text)
+    nombre = _WS.sub(" ", m.group(1)).strip() if m else None
+    m = _CI.search(text)
+    ci = _NONNUM.sub("", m.group(1)) if m else None
+    m = _FECHA.search(text)
+    fecha = f"{m.group(3)}-{m.group(2)}-{m.group(1)}" if m else None
+    m = _DIAG.search(text)
+    diag, cie = (_WS.sub(" ", m.group(1)).strip(), m.group(2)) if m else (None, None)
+
+    matricula = None
+    for rx in _MATRICULAS:
+        m = rx.search(text)
+        if m:
+            matricula = m.group(1)
+            break
+    mat_ok = bool(
+        matricula and config.MATRICULA_MIN_LEN <= len(matricula) <= config.MATRICULA_MAX_LEN
+    )
+    urgente = _URGENCY.search(text) is not None
+
+    practicas: list[dict] = []
+    fuente = None
+    seg = _PRACT_SEG.search(text)
+    if seg:
+        for raw in seg.group(1).split(";"):
+            item = _WS.sub(" ", raw).strip()
+            if not item:
+                continue
+            im = _PRACT_ITEM.match(item)
+            desc = _WS.sub(" ", im.group(1)).strip()
+            if desc:
+                practicas.append(
+                    {
+                        "item": len(practicas) + 1,
+                        "descripcion": desc,
+                        "cantidad": int(im.group(2)) if im.group(2) else config.DEFAULT_CANTIDAD,
+                        "confianza": config.DEFAULT_PRACTICE_CONFIDENCE,
+                    }
+                )
+        if practicas:
+            fuente = "LISTA"
+    if not practicas:
+        for rx, name in _NARRATIVE:
+            if rx.search(text):
+                practicas.append(
+                    {
+                        "item": len(practicas) + 1,
+                        "descripcion": name,
+                        "cantidad": config.DEFAULT_CANTIDAD,
+                        "confianza": config.NARRATIVE_PRACTICE_CONFIDENCE,
+                    }
+                )
+        if practicas:
+            fuente = "NARRATIVA"
+
+    got = 0.0
+    if nombre:
+        got += _W["paciente_nombre"]
+    if ci:
+        got += _W["paciente_ci"]
+    if mat_ok:
+        got += _W["medico_matricula"]
+    if fecha:
+        got += _W["fecha_orden"]
+    if diag:
+        got += _W["diagnostico"]
+    if urgente:
+        got += _W["urgencia_detectada"]
+    if practicas:
+        got += _W["practicas"]
+    mean_pc = (
+        sum(p["confianza"] for p in practicas) / len(practicas) if practicas else 0.0
+    )
+    conf = round(min(1.0, 0.7 * (got / _W_TOTAL) + 0.3 * mean_pc), 2)
+
+    return {
+        "ruc": ruc,
+        "paciente_nombre": nombre,
+        "paciente_ci": ci,
+        "fecha_orden": fecha,
+        "diagnostico_texto": diag,
+        "diagnostico_codigo_cie": cie,
+        "medico_matricula": matricula,
+        "matricula_valida": mat_ok,
+        "urgente": urgente,
+        "practicas": practicas,
+        "practicas_fuente": fuente,
+        "confianza_extraccion": conf,
+    }
+
+
+@F.pandas_udf(FIELDS_SCHEMA)
+def extract_fields_udf(texts: pd.Series) -> pd.DataFrame:
+    rows = [_extract_one(t if t is not None else "") for t in texts]
+    return pd.DataFrame(rows, index=texts.index)
