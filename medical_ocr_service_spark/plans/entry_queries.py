@@ -3,17 +3,769 @@
 Each QUERIES[name] is (spark, sf_dir) -> DataFrame; ORACLES[name] is the
 equivalent ANSI SQL DuckDB runs on the same parquet (views: region nation
 customer supplier part orders lineitem events documents embeddings).
-Column names/aliases MUST match between the two — the driver hash-compares
-values after sorting columns by name.
 
-Populated operator-by-operator as SURVEY.md §2 coverage grows.
+Cross-engine comparison discipline (the driver hash-compares values after
+sorting columns by name):
+  * column names aliased identically on both sides;
+  * money/double aggregates go through DECIMAL casts (exact, order-independent)
+    and are emitted as ROUND(x, k) doubles so float summation order can never
+    flip the hash;
+  * every LIMIT sits under a TOTAL order (unique tie-break key);
+  * dates are DATE on both sides, never raw timestamps-vs-strings.
+
+Operator provenance: each query cites the SURVEY.md §2 operator id and the
+reference file:line it re-expresses.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing rollup — SURVEY A1/A2 family; map-side partial
+    agg + single shuffle on the (tiny-cardinality) group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    d4 = "decimal(18,4)"
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(d4)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(d4)).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(d4) * (F.lit(1) - F.col("l_discount")).cast(d4)
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(d4)).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a1_customer_rollup",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_totalprice,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 100
+    """,
+)
+def a1_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A1 (pre-visacion.service.js:388-410): COUNT/AVG/conditional SUM
+    + ORDER BY ... LIMIT with a unique tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_totalprice"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n_urgent"),
+        )
+        .orderBy(F.desc("n_orders"), "o_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "a2_conditional_counts",
+    """
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+    FROM orders
+    """,
+)
+def a2_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A2 (pre-visacion.service.js:558-567): COUNT(*) FILTER(...) stats."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_price"),
+    )
+
+
+@query(
+    "a4_queue_stats",
+    """
+    SELECT event_type, user_id % 4 AS shard, COUNT(*) AS n
+    FROM events GROUP BY event_type, user_id % 4
+    """,
+)
+def a4_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A4 (job-queue.service.js:62-76): GROUP BY tipo,estado counts."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("shard")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "a5_batch_rollup",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           COUNT(*) AS n_total
+    FROM events GROUP BY user_id
+    """,
+)
+def a5_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A5 (job-queue.service.js:88-117): per-batch status pivot."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "a6_usage_summary",
+    """
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+    FROM events
+    """,
+)
+def a6_usage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A6 (usage.service.js:56-72): COUNT/SUM/AVG + COUNT(DISTINCT DATE)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*"), 4
+        ).alias("avg_value"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+@query(
+    "a7_daily_breakdown",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def a7_daily_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A7 (usage.service.js:74-89): calendar-day tumbling window."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+@query(
+    "a8_hourly_buckets",
+    """
+    SELECT date_trunc('hour', ts) AS hour_bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def a8_hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A8 (utils/metrics.js:47-58): hourly bucketing."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "a10_recent_windows",
+    """
+    SELECT COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-25 00:00:00') AS last_day,
+           COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-19 00:00:00') AS last_week,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE ts >= TIMESTAMP '2024-01-19 00:00:00') AS DOUBLE), 4) AS week_value
+    FROM events
+    """,
+)
+def a10_recent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A10 (orders.controller.js:77-95): multi-window conditional counts."""
+    e = _t(spark, sf_dir, "events")
+    day = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    week = F.lit("2024-01-19 00:00:00").cast("timestamp")
+    return e.agg(
+        F.count(F.when(F.col("ts") >= day, 1)).alias("last_day"),
+        F.count(F.when(F.col("ts") >= week, 1)).alias("last_week"),
+        F.round(
+            F.sum(
+                F.when(F.col("ts") >= week, F.col("value").cast("decimal(18,4)"))
+            ).cast("double"),
+            4,
+        ).alias("week_value"),
+    )
+
+
+@query(
+    "a11_coverage_stats",
+    """
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE n_chars >= 256) AS n_large,
+           COUNT(*) FILTER (WHERE lang = 'es') AS n_es
+    FROM documents
+    """,
+)
+def a11_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A11 (data-ingest.routes.js:395-422): presence-coverage stats."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("n_chars") >= 256, 1)).alias("n_large"),
+        F.count(F.when(F.col("lang") == "es", 1)).alias("n_es"),
+    )
+
+
+@query(
+    "a16_group_concat_rollup",
+    """
+    SELECT event_type,
+           string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ',' ORDER BY CAST(user_id % 10 AS VARCHAR)) AS user_shards
+    FROM events GROUP BY event_type
+    """,
+)
+def a16_group_concat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A16 (orders.controller.js:49-65): json_agg rollup, expressed as a
+    deterministic sorted string_agg so both engines hash identically."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.array_join(
+            F.sort_array(F.collect_set((F.col("user_id") % 10).cast("string"))), ","
+        ).alias("user_shards")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "t3_latest_argmax",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+    """,
+)
+def t3_latest_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T3 (matching.service.js:251-269): latest-valid row per key via
+    row_number window argmax with total tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    )
+
+
+@query(
+    "t4_recency_limit",
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def t4_recency_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T4 (pre-visacion.service.js:408-409): recency list."""
+    e = _t(spark, sf_dir, "events")
+    return e.orderBy(F.desc("ts"), F.desc("event_id")).limit(100).select(
+        "event_id", "ts", "event_type"
+    )
+
+
+@query(
+    "t5_priority_case_sort",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY CASE WHEN o_totalprice > 400000 THEN 0 ELSE 1 END,
+             o_orderdate DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def t5_priority_case_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T5 (feedback.service.js:196-212): CASE-priority sort + limit."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.when(F.col("o_totalprice") > 400000, 0).otherwise(1),
+            F.desc("o_orderdate"),
+            "o_orderkey",
+        )
+        .limit(50)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@query(
+    "t6_popularity_topn",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY COALESCE(p_retailprice, 0) DESC, p_partkey LIMIT 60
+    """,
+)
+def t6_popularity_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T6 (rag.service.js:135-154): popularity top-N."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc(F.coalesce("p_retailprice", F.lit(0))), "p_partkey")
+        .limit(60)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@query(
+    "p4_pagination",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    ORDER BY c_custkey LIMIT 100 OFFSET 200
+    """,
+)
+def p4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P4 (usage.service.js:18-54): LIMIT/OFFSET pagination."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy("c_custkey").offset(200).limit(100).select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+    )
+
+
+@query(
+    "p6_time_window_filter",
+    """
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def p6_time_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P6 (usage.service.js:68-104): time-window predicates (pushed to scan)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-22 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j5_candidate_payload_join",
+    """
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY p_brand
+    """,
+)
+def j5_candidate_payload_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J5 (matching.service.js:298-341): candidate-set inner join with
+    payload; dimension side broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j7_header_enrichment",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j7_header_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J7 (pre-visacion.service.js:308-317): broadcast left enrichment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "j8_detail_enrichment_3way",
+    """
+    SELECT l_orderkey, l_linenumber, p_name, s_name, n_name
+    FROM lineitem
+    LEFT JOIN part ON l_partkey = p_partkey
+    LEFT JOIN supplier ON l_suppkey = s_suppkey
+    LEFT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def j8_detail_enrichment_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J8 (pre-visacion.service.js:323-338): 3-way broadcast left joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left")
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name", "n_name")
+    )
+
+
+@query(
+    "j9_fk_resolution_misses",
+    """
+    SELECT l_suppkey AS missing_key, COUNT(*) AS n
+    FROM lineitem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal > 2000)
+    GROUP BY l_suppkey
+    """,
+)
+def j9_fk_resolution_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J9 (data-ingest.routes.js:292-311): FK misses diverted to an
+    error side-output via anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 2000)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti")
+        .groupBy(F.col("l_suppkey").alias("missing_key"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "j11_training_antijoin",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-06-01')
+    """,
+)
+def j11_training_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J11 (auto-training.service.js:70-80): anti-join with range
+    condition (customers with no recent orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j13_stats_semijoin",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def j13_stats_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J13 (pre-visacion.service.js:569-583): left-semi join stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions over documents (SURVEY §2.7) + text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "f1_normalize_text",
+    """
+    SELECT doc_id,
+           translate(lower(text),
+                     'áéíóúàèìòùäëïöüâêîôûñ',
+                     'aeiouaeiouaeiouaeioun') AS texto_normalizado
+    FROM documents
+    """,
+)
+def f1_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F1 (database/schema_matching.sql:418-428): normalizar_texto."""
+    from ..functions.text import normalizar_texto
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalizar_texto(F.col("text")).alias("texto_normalizado"))
+
+
+@query(
+    "f8_content_hash_dedup",
+    """
+    SELECT sha256(text) AS archivo_hash, MIN(doc_id) AS first_doc, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def f8_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F8/S9 (gpt-vision.service.js:22, feedback.service.js:28-58):
+    SHA-256 content hash + exact dedup group."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("archivo_hash")).agg(
+        F.min("doc_id").alias("first_doc"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS len_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: token counting (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           ROUND(0.5 * LEAST(1.0, len(regexp_split_to_array(trim(text), '\\s+')) / 100.0)
+               + 0.5 * LEAST(1.0, length(text) / 500.0), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: length/token-based quality score (deterministic
+    double arithmetic, identical op order on both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+            + 0.5 * F.least(F.lit(1.0), F.length("text") / F.lit(500.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_stopword",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the','of','and','to','in','is','that','a'], x))) AS en_score,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['el','la','de','que','y','en','los','se'], x))) AS es_score
+      FROM documents)
+    SELECT doc_id, en_score, es_score,
+           CASE WHEN es_score > en_score THEN 'es'
+                WHEN en_score > es_score THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM scored
+    """,
+)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: stopword-overlap language ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    en = F.array(*[F.lit(w) for w in ["the", "of", "and", "to", "in", "is", "that", "a"]])
+    es = F.array(*[F.lit(w) for w in ["el", "la", "de", "que", "y", "en", "los", "se"]])
+    toks = F.split(F.lower("text"), " ")
+    en_score = F.size(F.filter(toks, lambda x: F.array_contains(en, x))).cast("long")
+    es_score = F.size(F.filter(toks, lambda x: F.array_contains(es, x))).cast("long")
+    return d.select(
+        "doc_id",
+        en_score.alias("en_score"),
+        es_score.alias("es_score"),
+        F.when(es_score > en_score, "es")
+        .when(en_score > es_score, "en")
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 4) AS cos_sim
+      FROM embeddings, q WHERE vec_id <> 0)
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: brute-force cosine top-k (SURVEY J3/T1 analogue) —
+    JVM-side higher-order functions, no Python in the loop."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(to_d(F.col("embedding")), to_d(F.col("qv")))
+                / (
+                    F.sqrt(dot(to_d(F.col("embedding")), to_d(F.col("embedding"))))
+                    * F.sqrt(dot(to_d(F.col("qv")), to_d(F.col("qv"))))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Upsert merge (SURVEY S8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "s8_coalesce_upsert",
+    """
+    WITH source AS (
+      SELECT s_suppkey AS suppkey, NULL AS name_new,
+             ROUND(CAST(s_acctbal + 100 AS DECIMAL(18,2)), 2) AS acctbal_new
+      FROM supplier WHERE s_suppkey % 5 = 0
+      UNION ALL
+      SELECT 100000 + r_regionkey AS suppkey, 'NEW-' || r_name AS name_new,
+             CAST(0.00 AS DECIMAL(18,2)) AS acctbal_new
+      FROM region)
+    SELECT COALESCE(t.s_suppkey, s.suppkey) AS suppkey,
+           COALESCE(s.name_new, t.s_name) AS s_name,
+           CAST(COALESCE(s.acctbal_new, CAST(t.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s_acctbal
+    FROM supplier t FULL OUTER JOIN source s ON t.s_suppkey = s.suppkey
+    """,
+)
+def s8_coalesce_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S8 (data-ingest.routes.js:125-160): partial-update upsert —
+    UPDATE with per-column COALESCE(new, old), INSERT for misses. Expressed
+    as MERGE-equivalent full-outer coalesce (Iceberg MERGE INTO in prod)."""
+    t = _t(spark, sf_dir, "supplier")
+    updates = (
+        t.filter(F.col("s_suppkey") % 5 == 0)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.lit(None).cast("string").alias("name_new"),
+            F.round((F.col("s_acctbal") + 100).cast("decimal(18,2)"), 2).alias("acctbal_new"),
+        )
+    )
+    inserts = _t(spark, sf_dir, "region").select(
+        (F.lit(100000) + F.col("r_regionkey")).cast("long").alias("suppkey"),
+        F.concat(F.lit("NEW-"), F.col("r_name")).alias("name_new"),
+        F.lit(0.00).cast("decimal(18,2)").alias("acctbal_new"),
+    )
+    source = updates.unionByName(inserts)
+    return (
+        t.join(source, t.s_suppkey == source.suppkey, "full_outer")
+        .select(
+            F.coalesce(t.s_suppkey, source.suppkey).alias("suppkey"),
+            F.coalesce(source.name_new, t.s_name).alias("s_name"),
+            F.coalesce(
+                source.acctbal_new, F.col("s_acctbal").cast("decimal(18,2)")
+            ).cast("double").alias("s_acctbal"),
+        )
+    )
