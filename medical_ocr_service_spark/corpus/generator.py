@@ -107,14 +107,28 @@ def _order_fields(rng: random.Random) -> dict[str, Any]:
     day, month, year = rng.randrange(1, 29), rng.randrange(1, 13), rng.randrange(2022, 2026)
     diag, cie = rng.choice(DIAGNOSES)
     # ~10% of matriculas are invalid (9+ digits) to exercise the 4-8 digit
-    # validity gate (validation.service.js:158-162) and the review flag.
-    if rng.random() < 0.10:
+    # validity gate (validation.service.js:158-162) and the review flag;
+    # ~20% equal a prestador's registro_profesional (dim formula 10000+pid*7)
+    # so the J2 matricula-lookup path fires.
+    r = rng.random()
+    if r < 0.10:
         matricula = rng.randrange(100_000_000, 999_999_999)
+    elif r < 0.30:
+        matricula = 10000 + rng.randrange(1, len(PROVIDERS) + 1) * 7
     else:
         matricula = rng.randrange(1000, 99_999)
     urgente = rng.random() < 0.18
-    provider = rng.choice(PROVIDERS)
-    ruc = f"{rng.randrange(80000000, 89999999)}-{rng.randrange(0, 10)}"
+    # Providers reference the prestadores dimension: RUC follows the dim
+    # formula (synthesize_dimensions) so the J1 exact-RUC short-circuit path
+    # fires; ~15% of docs carry a corrupted RUC to exercise the fuzzy
+    # fallback (matching.service.js:91-120).
+    pidx = rng.randrange(len(PROVIDERS))
+    provider = PROVIDERS[pidx]
+    pid = pidx + 1
+    if rng.random() < 0.15:
+        ruc = f"{rng.randrange(90000000, 99999999)}-{rng.randrange(0, 10)}"
+    else:
+        ruc = f"{80000000 + pid * 111}-{pid % 10}"
     n_pr = rng.randrange(1, 5)
     practicas = []
     seen: set[str] = set()

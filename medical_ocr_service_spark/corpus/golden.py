@@ -120,6 +120,7 @@ def layout_to_text(layout_json: str | None) -> str | None:
 # ---------------------------------------------------------------------------
 
 _RUC_RE = re.compile(r"RUC:\s*([\d\-]+)")
+_PRESTADOR_RE = re.compile(r"ORDEN MEDICA - (.+?)\s+RUC:")
 _PACIENTE_RE = re.compile(r"Paciente:\s*(.+?)\s+CI[:\s]")
 _CI_RE = re.compile(r"CI:\s*([\d.\-]+)")
 _FECHA_RE = re.compile(r"\b(\d{2})/(\d{2})/(\d{4})\b")
@@ -140,6 +141,8 @@ def extract_fields(full_text: str) -> dict[str, Any]:
     """Extract the structured order fields from a document's cleaned text."""
     m = _RUC_RE.search(full_text)
     ruc = m.group(1) if m else None
+    m = _PRESTADOR_RE.search(full_text)
+    prestador_nombre = collapse_ws(m.group(1)) if m else None
     m = _PACIENTE_RE.search(full_text)
     nombre = collapse_ws(m.group(1)) if m else None
     m = _CI_RE.search(full_text)
@@ -198,6 +201,7 @@ def extract_fields(full_text: str) -> dict[str, Any]:
 
     return {
         "ruc": ruc,
+        "prestador_nombre": prestador_nombre,
         "paciente_nombre": nombre,
         "paciente_ci": ci,
         "fecha_orden": fecha,

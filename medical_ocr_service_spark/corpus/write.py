@@ -92,6 +92,7 @@ def write_corpus(
                 {
                     "doc_id": r["doc_id"],
                     "ruc": f["ruc"],
+                    "prestador_nombre": f["prestador_nombre"],
                     "paciente_nombre": f["paciente_nombre"],
                     "paciente_ci": f["paciente_ci"],
                     "fecha_orden": f["fecha_orden"],

@@ -136,6 +136,7 @@ PRACTICA_TYPE = T.ArrayType(
 FIELDS_SCHEMA = T.StructType(
     [
         T.StructField("ruc", T.StringType()),
+        T.StructField("prestador_nombre", T.StringType()),
         T.StructField("paciente_nombre", T.StringType()),
         T.StructField("paciente_ci", T.StringType()),
         T.StructField("fecha_orden", T.StringType()),
@@ -151,6 +152,7 @@ FIELDS_SCHEMA = T.StructType(
 )
 
 _RUC = re.compile(r"RUC:\s*([\d\-]+)")
+_PRESTADOR = re.compile(r"ORDEN MEDICA - (.+?)\s+RUC:")
 _PAC = re.compile(r"Paciente:\s*(.+?)\s+CI[:\s]")
 _CI = re.compile(r"CI:\s*([\d.\-]+)")
 _FECHA = re.compile(r"\b(\d{2})/(\d{2})/(\d{4})\b")
@@ -170,6 +172,8 @@ _W_TOTAL = sum(_W.values())
 def _extract_one(text: str) -> dict:
     m = _RUC.search(text)
     ruc = m.group(1) if m else None
+    m = _PRESTADOR.search(text)
+    prestador_nombre = _WS.sub(" ", m.group(1)).strip() if m else None
     m = _PAC.search(text)
     nombre = _WS.sub(" ", m.group(1)).strip() if m else None
     m = _CI.search(text)
@@ -247,6 +251,7 @@ def _extract_one(text: str) -> dict:
 
     return {
         "ruc": ruc,
+        "prestador_nombre": prestador_nombre,
         "paciente_nombre": nombre,
         "paciente_ci": ci,
         "fecha_orden": fecha,

@@ -1,0 +1,406 @@
+"""Similarity matching + agreement pick-best (SURVEY §2.9 — the heart).
+
+Re-expresses the reference's per-practice matching pipeline
+(/root/reference/src/services/matching.service.js:351-432) Spark-first:
+
+  1. dimension embedding job (D10/D11): one batch withColumn over the dims
+     (replaces the OpenAI embedding worker src/workers/embedding.worker.js);
+  2. vectorized candidate scoring: the (tiny) nomenclador matrix is shipped
+     to executors inside a pandas-UDF closure — a broadcast dense matmul,
+     strictly better recall than the reference's IVFFlat index (exact top-k);
+  3. candidate ∩ agreements via broadcast join + latest-vigente argmax window
+     (J5/J6/T3, matching.service.js:242-341);
+  4. preference pick-best: best-ranked candidate HAVING an agreement, else
+     global best (matching.service.js:378-392) — NOT max(score*has_acuerdo);
+  5. alternatives: next 5 by rank with tiene_acuerdo flags (T7).
+
+Provider match cascade (J1/J2/J4, matching.service.js:91-232): exact RUC
+short-circuit (similarity pinned 1.0) -> exact matricula -> fuzzy top-1.
+
+Scale: dims are small (≤10^6 rows) — every dim join is a broadcast; the only
+doc-side shuffles are the per-(doc,item) windows, whose key cardinality
+equals the practice count (bounded per doc), so no skew pathologies.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import config
+from ..functions import similarity as sim
+
+# ---------------------------------------------------------------------------
+# Dimension embedding job (D10/D11)
+# ---------------------------------------------------------------------------
+
+_EMBED_TYPE = T.ArrayType(T.DoubleType())
+
+
+@F.pandas_udf(_EMBED_TYPE)
+def embed_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([sim.embed_text(t) for t in texts], index=texts.index)
+
+
+@F.pandas_udf(T.StringType())
+def normalize_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([sim.normalize_text(t) for t in texts], index=texts.index)
+
+
+def embed_nomencladores(nom: DataFrame) -> DataFrame:
+    """Assemble embedding text (embedding.worker.js:102-111) + embed + normalize."""
+    text = F.concat_ws(
+        " ",
+        "especialidad",
+        "descripcion",
+        "desc_nomenclador",
+        F.array_join("sinonimos", " "),
+        F.array_join("palabras_clave", " "),
+    )
+    return nom.withColumn("descripcion_normalizada", normalize_udf("descripcion")).withColumn(
+        "descripcion_embedding", embed_udf(text)
+    )
+
+
+def embed_prestadores(prest: DataFrame) -> DataFrame:
+    """Assemble embedding text (embedding.worker.js:34-41) + embed + normalize."""
+    text = F.concat_ws(
+        " ", "nombre_fantasia", "raz_soc_nombre", "registro_profesional", "tipo"
+    )
+    return prest.withColumn("nombre_normalizado", normalize_udf("nombre_fantasia")).withColumn(
+        "nombre_embedding", embed_udf(text)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized top-k candidate scoring (J3/J4 + T1/T2 + F12/F13/F14)
+# ---------------------------------------------------------------------------
+
+CANDIDATE_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("id", T.IntegerType()),
+            T.StructField("descripcion", T.StringType()),
+            T.StructField("sim_vec", T.DoubleType()),
+            T.StructField("sim_trgm", T.DoubleType()),
+            T.StructField("similitud", T.DoubleType()),
+        ]
+    )
+)
+
+
+def make_topk_udf(
+    ids: list[int],
+    descs: list[str],
+    embed_texts: list[str],
+    k: int,
+    min_sim: float = config.MIN_SIMILARITY_NOM,
+):
+    """Build a pandas UDF scoring queries against a fixed candidate matrix.
+
+    The matrix lives in the UDF closure — Spark serializes it once per task
+    (equivalent of a broadcast variable; dims are small by contract).
+    Semantics (matching.service.js:32-66): vector top-k with floor min_sim and
+    id tie-break, then re-rank by 0.7*sim_vec + 0.3*sim_trgm (id tie-break).
+    """
+    import numpy as np
+
+    M = sim.embed_matrix(embed_texts)  # L2-normalized rows
+    trigram_sets = [sim.char_trigrams(d or "") for d in descs]
+    ids_arr = np.array(ids, dtype=np.int64)
+
+    @F.pandas_udf(CANDIDATE_TYPE)
+    def topk_udf(queries: pd.Series) -> pd.Series:
+        out = []
+        for q in queries:
+            if q is None or len(ids_arr) == 0:
+                out.append([])
+                continue
+            qv = np.asarray(sim.embed_text(q), dtype=np.float64)
+            sims = M @ qv  # rows normalized -> cosine
+            mask = sims >= min_sim
+            idxs = np.nonzero(mask)[0]
+            if idxs.size == 0:
+                out.append([])
+                continue
+            # vector top-k, tie-break by id ascending
+            order = idxs[np.lexsort((ids_arr[idxs], -sims[idxs]))][:k]
+            qgrams = sim.char_trigrams(q)
+            cands = []
+            for j in order:
+                sj = trigram_sets[j]
+                inter = len(qgrams & sj)
+                trgm = (
+                    inter / (len(qgrams) + len(sj) - inter)
+                    if qgrams and sj
+                    else 0.0
+                )
+                sv = float(sims[j])
+                cands.append(
+                    {
+                        "id": int(ids_arr[j]),
+                        "descripcion": descs[j],
+                        "sim_vec": sv,
+                        "sim_trgm": trgm,
+                        "similitud": round(
+                            config.VEC_WEIGHT * sv + config.TRGM_WEIGHT * trgm, 4
+                        ),
+                    }
+                )
+            cands.sort(key=lambda c: (-c["similitud"], c["id"]))
+            for r, c in enumerate(cands):
+                c["rank"] = r + 1
+            out.append(cands)
+        return pd.Series(out, dtype=object)
+
+    return topk_udf
+
+
+def _collect_nomenclador_space(nom_embedded: DataFrame) -> tuple[list, list, list]:
+    """Active nomencladores -> (ids, descripciones, embedding texts).
+
+    Deterministic order (id ascending). Driver-side collect is by design:
+    the dimension is the broadcast side (SURVEY §4 — replaces IVFFlat)."""
+    rows = (
+        nom_embedded.filter(F.col("estado") == "ACTIVO")
+        .select(
+            "id_nomenclador",
+            "descripcion",
+            F.concat_ws(
+                " ",
+                "especialidad",
+                "descripcion",
+                "desc_nomenclador",
+                F.array_join("sinonimos", " "),
+                F.array_join("palabras_clave", " "),
+            ).alias("etext"),
+        )
+        .orderBy("id_nomenclador")
+        .collect()
+    )
+    return (
+        [r["id_nomenclador"] for r in rows],
+        [r["descripcion"] for r in rows],
+        [r["etext"] for r in rows],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-valid agreement (J6/T3)
+# ---------------------------------------------------------------------------
+
+def latest_agreements(acuerdos: DataFrame) -> DataFrame:
+    """One row per (prestador, nomenclador, plan): latest vigente='SI'
+    agreement by fecha_vigencia (argmax window, id_acuerdo tie-break) —
+    matching.service.js:251-269."""
+    w = Window.partitionBy(
+        "prest_id_prestador", "id_nomenclador", "plan_id_plan"
+    ).orderBy(F.desc("fecha_vigencia"), F.desc("id_acuerdo"))
+    return (
+        acuerdos.filter(F.col("vigente") == "SI")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Provider match cascade (J1 -> J2 -> J4)
+# ---------------------------------------------------------------------------
+
+def match_prestador(
+    doc_fields: DataFrame, prest_embedded: DataFrame
+) -> DataFrame:
+    """doc_fields(doc_id, ruc, prestador_nombre, medico_matricula,
+    matricula_valida) -> + (prestador_id, prestador_confianza, prestador_metodo).
+
+    Cascade: exact RUC (sim pinned 1.0, matching.service.js:91-120) ->
+    exact matricula vs registro_profesional (:193-232) -> fuzzy top-1
+    (0.7 vec + 0.3 trgm on nombre, :137-171). All joins broadcast."""
+    activo = prest_embedded.filter(F.col("estado") == "ACTIVO")
+
+    by_ruc = activo.select(
+        F.col("ruc").alias("_p_ruc"), F.col("id_prestador").alias("_ruc_id")
+    ).dropDuplicates(["_p_ruc"])
+    step1 = doc_fields.join(
+        F.broadcast(by_ruc), doc_fields.ruc == by_ruc._p_ruc, "left"
+    ).drop("_p_ruc")
+
+    by_mat = activo.select(
+        F.col("registro_profesional").alias("_p_mat"),
+        F.col("id_prestador").alias("_mat_id"),
+    ).dropDuplicates(["_p_mat"])
+    step2 = step1.join(
+        F.broadcast(by_mat),
+        (step1._ruc_id.isNull())
+        & step1.matricula_valida
+        & (step1.medico_matricula == by_mat._p_mat),
+        "left",
+    ).drop("_p_mat")
+
+    # fuzzy fallback over active prestadores
+    rows = (
+        activo.select(
+            "id_prestador",
+            "nombre_fantasia",
+            F.concat_ws(
+                " ", "nombre_fantasia", "raz_soc_nombre", "registro_profesional", "tipo"
+            ).alias("etext"),
+        )
+        .orderBy("id_prestador")
+        .collect()
+    )
+    fuzzy_udf = make_topk_udf(
+        [r["id_prestador"] for r in rows],
+        [r["nombre_fantasia"] for r in rows],
+        [r["etext"] for r in rows],
+        k=config.TOPK_PRESTADOR,
+        min_sim=0.0,
+    )
+    step3 = step2.withColumn(
+        "_fuzzy",
+        F.when(
+            step2._ruc_id.isNull() & step2._mat_id.isNull(),
+            # F.get (0-based) returns null when out of bounds — element_at
+            # would raise under ANSI mode (default in Spark 4)
+            F.get(fuzzy_udf(F.col("prestador_nombre")), 0),
+        ),
+    )
+
+    return (
+        step3.withColumn(
+            "prestador_id",
+            F.coalesce("_ruc_id", "_mat_id", F.col("_fuzzy.id")),
+        )
+        .withColumn(
+            "prestador_confianza",
+            F.when(F.col("_ruc_id").isNotNull() | F.col("_mat_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.round(F.col("_fuzzy.similitud"), 2)),
+        )
+        .withColumn(
+            "prestador_metodo",
+            F.when(F.col("_ruc_id").isNotNull(), "RUC")
+            .when(F.col("_mat_id").isNotNull(), "MATRICULA")
+            .when(F.col("_fuzzy").isNotNull(), "FUZZY")
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("_ruc_id", "_mat_id", "_fuzzy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Practice matching + agreement pick-best (§2.9 steps 1-5)
+# ---------------------------------------------------------------------------
+
+ALTERNATIVE_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("id_nomenclador", T.IntegerType()),
+            T.StructField("descripcion", T.StringType()),
+            T.StructField("similitud", T.DoubleType()),
+            T.StructField("tiene_acuerdo", T.BooleanType()),
+        ]
+    )
+)
+
+
+def match_practices(
+    practices: DataFrame,
+    nom_embedded: DataFrame,
+    acuerdos: DataFrame,
+) -> DataFrame:
+    """practices(doc_id, item, descripcion, cantidad, confianza,
+    prestador_id, plan_id_plan) -> one row per practice with
+    nomenclador_id_sugerido, nomenclador_confianza, similitud, tiene_acuerdo,
+    id_acuerdo, precio_acuerdo, matches_alternativos, alerta."""
+    ids, descs, etexts = _collect_nomenclador_space(nom_embedded)
+    topk_udf = make_topk_udf(ids, descs, etexts, k=config.TOPK_NOMENCLADOR)
+
+    with_cands = practices.withColumn("cands", topk_udf(F.col("descripcion")))
+    exploded = with_cands.select(
+        "doc_id", "item", "descripcion", "cantidad", "confianza",
+        "prestador_id", "plan_id_plan",
+        F.explode_outer("cands").alias("c"),
+    )
+
+    ag = latest_agreements(acuerdos).select(
+        F.col("id_nomenclador").alias("_ag_nom"),
+        F.col("prest_id_prestador").alias("_ag_prest"),
+        F.col("plan_id_plan").alias("_ag_plan"),
+        F.col("id_acuerdo").alias("_ag_id"),
+        F.col("precio").alias("_ag_precio"),
+    )
+    joined = exploded.join(
+        F.broadcast(ag),
+        (F.col("c.id") == F.col("_ag_nom"))
+        & (F.col("prestador_id") == F.col("_ag_prest"))
+        & (F.col("plan_id_plan") == F.col("_ag_plan")),
+        "left",
+    ).withColumn("has_ag", F.col("_ag_id").isNotNull())
+
+    # preference pick-best: min rank among agreement-holders, else rank 1
+    wkey = Window.partitionBy("doc_id", "item")
+    with_best = joined.withColumn(
+        "best_rank",
+        F.coalesce(
+            F.min(F.when(F.col("has_ag"), F.col("c.rank"))).over(wkey), F.lit(1)
+        ),
+    )
+
+    best = with_best.filter(
+        (F.col("c.rank") == F.col("best_rank")) | F.col("c").isNull()
+    ).select(
+        "doc_id", "item", "descripcion", "cantidad", "confianza",
+        "prestador_id", "plan_id_plan",
+        F.col("c.id").alias("nomenclador_id_sugerido"),
+        F.col("c.descripcion").alias("nomenclador_descripcion"),
+        F.col("c.similitud").alias("similitud"),
+        F.round(F.col("c.similitud"), 2).alias("nomenclador_confianza"),
+        F.col("has_ag").alias("tiene_acuerdo"),
+        F.col("_ag_id").alias("id_acuerdo"),
+        F.col("_ag_precio").alias("precio_acuerdo"),
+        F.when(F.col("c").isNull(), F.lit("SIN_MATCH"))
+        .when(~F.col("has_ag"), F.lit("SIN_ACUERDO"))
+        .alias("alerta"),
+    )
+
+    alts = (
+        with_best.filter(F.col("c").isNotNull() & (F.col("c.rank") != F.col("best_rank")))
+        .withColumn(
+            "_alt_rn",
+            F.row_number().over(wkey.orderBy("c.rank")),
+        )
+        .filter(F.col("_alt_rn") <= config.N_ALTERNATIVES)
+        .groupBy("doc_id", "item")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("c.rank").alias("rank"),
+                            F.col("c.id").alias("id_nomenclador"),
+                            F.col("c.descripcion").alias("descripcion"),
+                            F.col("c.similitud").alias("similitud"),
+                            F.col("has_ag").alias("tiene_acuerdo"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["id_nomenclador"].alias("id_nomenclador"),
+                    s["descripcion"].alias("descripcion"),
+                    s["similitud"].alias("similitud"),
+                    s["tiene_acuerdo"].alias("tiene_acuerdo"),
+                ),
+            ).alias("matches_alternativos")
+        )
+    )
+
+    return best.join(alts, ["doc_id", "item"], "left").withColumn(
+        "matches_alternativos",
+        F.coalesce(
+            "matches_alternativos", F.lit([]).cast(ALTERNATIVE_TYPE)
+        ),
+    )

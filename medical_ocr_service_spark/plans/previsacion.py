@@ -1,0 +1,139 @@
+"""Flagship end-to-end plan: interleaved docs -> pre-visacion tables.
+
+Spark lifecycle (SURVEY §3.1): read docs -> extract (explode/clean/reassemble/
+fields) -> provider match cascade -> explode practices -> vectorized candidate
+match + agreement pick-best -> header + detail result tables, detail ordered
+by item (the UNIQUE(visacion_previa_id, item) invariant,
+/root/reference/database/schema_matching.sql:279-288).
+
+Replaces reference boundaries 1-5 (HTTP->queue->subprocess->OpenAI->DB,
+src/workers/previsacion.worker.js:18-227) with one declarative DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config
+from ..operators import extract, matching
+
+
+def plan_id_col() -> F.Column:
+    """Deterministic plan assignment (stand-in for order metadata.plan_id,
+    ordenes-batch.routes.js:44): last 2 digits of doc_id mod 2, + 1."""
+    return (F.substring(F.col("doc_id"), -2, 2).cast("int") % 2 + 1).alias("plan_id_plan")
+
+
+def run_previsacion(
+    docs: DataFrame,
+    media: DataFrame,
+    prestadores: DataFrame,
+    nomencladores: DataFrame,
+    acuerdos: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (visacion_previa, det_visacion_previa)."""
+    prest_e = matching.embed_prestadores(prestadores)
+    nom_e = matching.embed_nomencladores(nomencladores)
+
+    extracted = extract.extract_documents(docs, media)
+
+    doc_fields = extracted.select(
+        "doc_id",
+        F.col("fields.ruc").alias("ruc"),
+        F.col("fields.prestador_nombre").alias("prestador_nombre"),
+        F.col("fields.paciente_nombre").alias("paciente_nombre"),
+        F.col("fields.paciente_ci").alias("paciente_ci"),
+        F.col("fields.fecha_orden").alias("fecha_orden"),
+        F.col("fields.diagnostico_texto").alias("diagnostico_texto"),
+        F.col("fields.diagnostico_codigo_cie").alias("diagnostico_codigo_cie"),
+        F.col("fields.medico_matricula").alias("medico_matricula"),
+        F.col("fields.matricula_valida").alias("matricula_valida"),
+        F.col("fields.urgente").alias("urgente"),
+        F.col("fields.practicas").alias("practicas"),
+        F.col("fields.confianza_extraccion").alias("confianza_extraccion"),
+        plan_id_col(),
+    )
+
+    with_prest = matching.match_prestador(doc_fields, prest_e)
+
+    practices = with_prest.select(
+        "doc_id",
+        "prestador_id",
+        "plan_id_plan",
+        F.explode("practicas").alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.item").alias("item"),
+        F.col("p.descripcion").alias("descripcion"),
+        F.col("p.cantidad").alias("cantidad"),
+        F.col("p.confianza").alias("confianza"),
+        "prestador_id",
+        "plan_id_plan",
+    )
+
+    det = matching.match_practices(practices, nom_e, acuerdos)
+
+    # per-doc practice-match confidence mean (A13 component)
+    det_stats = det.groupBy("doc_id").agg(
+        F.round(F.avg(F.coalesce(F.col("similitud"), F.lit(0.0))), 4).alias(
+            "_match_conf"
+        ),
+        F.count("*").alias("n_practicas"),
+    )
+
+    header = (
+        with_prest.join(det_stats, "doc_id", "left")
+        .withColumn(
+            "confianza_general",
+            F.round(
+                (
+                    F.col("confianza_extraccion")
+                    + F.coalesce(F.col("prestador_confianza"), F.lit(0.0))
+                    + F.coalesce(F.col("_match_conf"), F.lit(0.0))
+                )
+                / F.lit(3.0),
+                2,
+            ),
+        )
+        .withColumn(
+            "requiere_revision",
+            F.col("confianza_general") < F.lit(config.REVIEW_THRESHOLD),
+        )
+        .select(
+            "doc_id",
+            "paciente_ci",
+            "paciente_nombre",
+            F.to_date("fecha_orden").alias("fecha_orden"),
+            F.col("prestador_id").alias("prestador_id_sugerido"),
+            "prestador_confianza",
+            "prestador_metodo",
+            "medico_matricula",
+            "diagnostico_texto",
+            "diagnostico_codigo_cie",
+            "urgente",
+            F.coalesce("n_practicas", F.lit(0)).alias("n_practicas"),
+            "confianza_extraccion",
+            "confianza_general",
+            "requiere_revision",
+            F.lit("PENDIENTE").alias("estado"),
+        )
+    )
+
+    detail = det.select(
+        "doc_id",
+        "item",
+        F.col("descripcion").alias("descripcion_original"),
+        "cantidad",
+        "nomenclador_id_sugerido",
+        "nomenclador_descripcion",
+        "nomenclador_confianza",
+        "similitud",
+        "matches_alternativos",
+        "tiene_acuerdo",
+        "id_acuerdo",
+        "precio_acuerdo",
+        "alerta",
+    )
+
+    return header, detail

@@ -1,0 +1,140 @@
+"""Matching + pre-visacion pipeline vs the pure-Python golden matcher.
+
+Covers SURVEY §2.9: provider cascade (RUC/matricula/fuzzy), vectorized top-k
+candidates, latest-vigente agreement argmax, preference pick-best,
+alternatives slice, confidence folds, and the ordered detail invariant.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark import config
+from medical_ocr_service_spark.corpus import generator, golden
+from medical_ocr_service_spark.corpus.golden_matching import GoldenMatcher
+from medical_ocr_service_spark.plans import previsacion
+
+
+@pytest.fixture(scope="module")
+def golden_previsacion():
+    docs, media = generator.synthesize_corpus(300, seed=config.CORpus_SEED if hasattr(config, "CORpus_SEED") else config.CORPUS_SEED)
+    extracted = golden.extract_corpus(docs, media)
+    matcher = GoldenMatcher(generator.synthesize_dimensions(seed=config.CORPUS_SEED))
+    out = [matcher.previsacion(g) for g in extracted]
+    headers = pd.DataFrame([o["header"] for o in out])
+    details = pd.DataFrame(
+        [
+            {k: v for k, v in d.items() if k != "matches_alternativos"}
+            for o in out
+            for d in o["details"]
+        ]
+    )
+    alts = pd.DataFrame(
+        [
+            {
+                "doc_id": d["doc_id"],
+                "item": d["item"],
+                "alt_idx": i + 1,
+                "alt_id_nomenclador": a["id_nomenclador"],
+                "alt_similitud": a["similitud"],
+                "alt_tiene_acuerdo": a["tiene_acuerdo"],
+            }
+            for o in out
+            for d in o["details"]
+            for i, a in enumerate(d["matches_alternativos"])
+        ]
+    )
+    return headers, details, alts
+
+
+@pytest.fixture(scope="module")
+def spark_previsacion(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    prest = spark.read.parquet(f"{corpus_dir}/prestadores.parquet")
+    nom = spark.read.parquet(f"{corpus_dir}/nomencladores.parquet")
+    ac = spark.read.parquet(f"{corpus_dir}/acuerdos_prestador.parquet")
+    header, detail = previsacion.run_previsacion(docs, media, prest, nom, ac)
+    return header.toPandas(), detail.toPandas()
+
+
+def _cmp(ours: pd.DataFrame, ref: pd.DataFrame, keys: list[str], name: str):
+    ours = ours.reindex(sorted(ours.columns), axis=1).sort_values(keys, ignore_index=True)
+    ref = ref.reindex(sorted(ref.columns), axis=1).sort_values(keys, ignore_index=True)
+    assert list(ours.columns) == list(ref.columns), (
+        f"{name} columns: {list(ours.columns)} vs {list(ref.columns)}"
+    )
+    assert len(ours) == len(ref), f"{name} rows: {len(ours)} vs {len(ref)}"
+    for c in ours.columns:
+        a, b = ours[c], ref[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            a = pd.to_numeric(a).round(9)
+            b = pd.to_numeric(b).round(9)
+        bad = ~((a == b) | (a.isna() & b.isna()))
+        assert not bad.any(), (
+            f"{name}.{c}: {int(bad.sum())} mismatches, e.g.\n"
+            f"{pd.concat([ours.loc[bad, keys + [c]].head(3).reset_index(drop=True), b[bad].head(3).reset_index(drop=True).rename('expected')], axis=1)}"
+        )
+
+
+def test_header_matches_golden(spark_previsacion, golden_previsacion):
+    ours, _ = spark_previsacion
+    ref, _, _ = golden_previsacion
+    ours = ours.copy()
+    ours["fecha_orden"] = ours["fecha_orden"].map(
+        lambda d: None if d is None else str(d)
+    )
+    ref = ref.copy()
+    ref["n_practicas"] = ref["n_practicas"].astype("int64")
+    ours["n_practicas"] = ours["n_practicas"].astype("int64")
+    _cmp(ours, ref, ["doc_id"], "header")
+
+
+def test_detail_matches_golden(spark_previsacion, golden_previsacion):
+    _, ours = spark_previsacion
+    _, ref, _ = golden_previsacion
+    ours = ours.drop(columns=["matches_alternativos"])
+    _cmp(ours, ref, ["doc_id", "item"], "detail")
+
+
+def test_alternatives_match_golden(spark, spark_previsacion, golden_previsacion):
+    _, ours_pd = spark_previsacion
+    _, _, ref = golden_previsacion
+    rows = []
+    for _, r in ours_pd.iterrows():
+        alts = r["matches_alternativos"]
+        for i, a in enumerate(alts if alts is not None else []):
+            rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "item": r["item"],
+                    "alt_idx": i + 1,
+                    "alt_id_nomenclador": a["id_nomenclador"],
+                    "alt_similitud": a["similitud"],
+                    "alt_tiene_acuerdo": a["tiene_acuerdo"],
+                }
+            )
+    ours = pd.DataFrame(rows)
+    _cmp(ours, ref, ["doc_id", "item", "alt_idx"], "alternativos")
+
+
+def test_detail_items_unique_and_dense(spark_previsacion):
+    _, det = spark_previsacion
+    g = det.groupby("doc_id")["item"].agg(["count", "min", "max"])
+    assert (g["min"] == 1).all() and (g["max"] == g["count"]).all()
+
+
+def test_pick_best_prefers_agreement(spark_previsacion):
+    """Where the best match has an agreement-holding lower-ranked sibling, the
+    pick must be the agreement holder (preference semantics, not argmax)."""
+    _, det = spark_previsacion
+    with_ag = det[det["tiene_acuerdo"]]
+    assert len(with_ag) > 0
+    # every agreement-holding pick carries the agreement payload
+    assert with_ag["id_acuerdo"].notna().all()
+    assert with_ag["precio_acuerdo"].notna().all()
+    # alerta set exactly when no agreement
+    no_ag = det[~det["tiene_acuerdo"] & det["nomenclador_id_sugerido"].notna()]
+    assert (no_ag["alerta"] == "SIN_ACUERDO").all()
