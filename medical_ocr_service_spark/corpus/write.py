@@ -58,7 +58,11 @@ def write_corpus(
 
     docs_tbl = pa.Table.from_pylist(docs, schema=DOCS_SCHEMA)
     paths["documents_interleaved"] = os.path.join(out_dir, "documents_interleaved.parquet")
-    pq.write_table(docs_tbl, paths["documents_interleaved"])
+    # bounded row groups: Spark parallelizes parquet scans per row group —
+    # one giant row group would make the initial read a single task
+    pq.write_table(
+        docs_tbl, paths["documents_interleaved"], row_group_size=max(500, n_docs // 64)
+    )
 
     media_tbl = pa.Table.from_pylist(
         media,
@@ -72,7 +76,7 @@ def write_corpus(
         ),
     )
     paths["media"] = os.path.join(out_dir, "media.parquet")
-    pq.write_table(media_tbl, paths["media"])
+    pq.write_table(media_tbl, paths["media"], row_group_size=max(500, len(media) // 64))
 
     dims = generator.synthesize_dimensions(seed=seed)
     for name, rows in dims.items():

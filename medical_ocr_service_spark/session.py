@@ -34,8 +34,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Python-UDF stages are CPU-heavy but byte-light: the stock 64 MB
+        # advisory size would coalesce post-shuffle parallelism down to ~1
+        # task (measured 3-7x slowdown). 4 MB keeps reduce-side parallelism
+        # for pandas-UDF work while still merging truly tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # Pandas-UDF pipelines do far more CPU per byte than pure-SQL scans;
+        # smaller input splits keep every core fed on medium-sized inputs.
+        # (At true 100 TB scale file count provides the parallelism and this
+        # only bounds per-task memory.)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small Arrow batches pipeline JVM<->Python transfer within a task
+        # (one giant batch per task serializes the phases; measured ~2x).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -1,0 +1,83 @@
+"""Readers/sinks re-expressing the reference's ingest surfaces (SURVEY §2.1).
+
+* read_table           — parquet table loader (S1 family);
+* read_csv_with_aliases — header-row alias-map CSV import (S3/S4,
+  /root/reference/src/routes/v1/data-ingest.routes.js:487-574): incoming
+  column headers are normalized and mapped through an alias dictionary;
+* split_valid_invalid  — per-row required-field gate with an error side
+  output carrying the row index (P7, data-ingest.routes.js:301-307);
+* write_jsonl          — training-dataset JSONL sink (S11,
+  /root/reference/src/services/auto-training.service.js:153-287);
+* binary_file_source   — multipart/file source with extension+size filters
+  (S5, src/config/multer.config.js).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm_header(h: str) -> str:
+    return h.strip().lower().replace(" ", "_")
+
+
+def read_csv_with_aliases(
+    spark: SparkSession, path: str, alias_map: dict[str, str]
+) -> DataFrame:
+    """CSV with header; columns renamed through alias_map (normalized header ->
+    canonical name); unmapped columns keep their normalized header."""
+    df = spark.read.option("header", True).option("inferSchema", False).csv(path)
+    renames = {}
+    for c in df.columns:
+        n = _norm_header(c)
+        renames[c] = alias_map.get(n, n)
+    return df.withColumnsRenamed(renames)
+
+
+def split_valid_invalid(
+    df: DataFrame, required: list[str], order_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, error_rows). Error rows carry `fila` (1-based input index,
+    reference errores[] shape) and `error` naming the first missing field."""
+    w = Window.orderBy(F.monotonically_increasing_id() if order_col is None else order_col)
+    indexed = df.withColumn("fila", F.row_number().over(w))
+    cond = None
+    first_missing = F.lit(None).cast("string")
+    for r in reversed(required):
+        missing = F.col(r).isNull() | (F.col(r).cast("string") == "")
+        first_missing = F.when(missing, F.lit(r)).otherwise(first_missing)
+    for r in required:
+        ok = F.col(r).isNotNull() & (F.col(r).cast("string") != "")
+        cond = ok if cond is None else (cond & ok)
+    valid = indexed.filter(cond).drop("fila")
+    errors = indexed.filter(~cond).withColumn(
+        "error", F.concat(F.lit("campo requerido faltante: "), first_missing)
+    )
+    return valid, errors.select("fila", "error", *df.columns)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """One JSON object per line (training dataset sink)."""
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def binary_file_source(
+    spark: SparkSession,
+    path: str,
+    allowed_ext: tuple[str, ...] = (".jpg", ".jpeg", ".png", ".pdf"),
+    max_bytes: int = 10 * 1024 * 1024,
+) -> DataFrame:
+    """S5: binaryFile reader + extension/size gate (multer filter parity)."""
+    df = spark.read.format("binaryFile").load(path)
+    ext_ok = None
+    for e in allowed_ext:
+        c = F.lower(F.col("path")).endswith(e)
+        ext_ok = c if ext_ok is None else (ext_ok | c)
+    return df.filter(ext_ok & (F.col("length") <= max_bytes))

@@ -1,0 +1,89 @@
+"""Checkpoint/resume (Q4) + lineage counters (Q5) + streaming recovery."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark.plans.checkpoint import CheckpointedExtraction
+
+
+@pytest.fixture()
+def loaded(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    return docs, media
+
+
+def test_resume_processes_only_pending(spark, loaded, tmp_path):
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"))
+    first_half = docs.filter(F.col("doc_id") < "doc00000150")
+
+    m1 = ck.run(first_half, media)
+    assert m1["docs_processed"] == 150
+
+    # resume over the FULL input: only the remaining docs are processed
+    m2 = ck.run(docs, media)
+    assert m2["docs_processed"] == docs.count() - 150
+
+    results = ck.results(spark)
+    assert results.count() == docs.count()
+    assert results.select("doc_id").distinct().count() == docs.count()
+
+    # third run: nothing pending
+    m3 = ck.run(docs, media)
+    assert m3["docs_processed"] == 0
+
+
+def test_crash_recovery_exactly_once(spark, loaded, tmp_path):
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"))
+
+    with pytest.raises(Exception):
+        ck.run(docs, media, fail_on="doc00000100")
+
+    # crashed run may have left partial appends; resume must complete the set
+    ck.run(docs, media)
+    results = ck.results(spark)
+    assert results.count() == docs.count()
+    assert results.select("doc_id").distinct().count() == docs.count()
+
+
+def test_lineage_metrics_written(spark, loaded, tmp_path):
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"))
+    m = ck.run(docs, media)
+    files = glob.glob(os.path.join(str(tmp_path / "out"), "_lineage", "*.json"))
+    assert len(files) == 1
+    rec = json.load(open(files[0]))
+    assert rec["docs_processed"] == docs.count()
+    assert rec["spans_emitted"] > docs.count()
+    assert "docs_review" in rec and "docs_missing_ci" in rec
+    assert m["run_id"] == rec["run_id"]
+
+
+def test_streaming_extraction_availablenow(spark, loaded, tmp_path):
+    from medical_ocr_service_spark.streaming.pipeline import stream_extraction
+
+    docs, media = loaded
+    # stage the input as multiple files (a "queue" of landing files)
+    docs_dir = str(tmp_path / "stream_in")
+    docs.repartition(4).write.parquet(docs_dir)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_extraction(spark, docs_dir, media, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.select("doc_id").distinct().count() == docs.count()
+
+    # restart with no new files -> checkpoint prevents reprocessing
+    q2 = stream_extraction(spark, docs_dir, media, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == docs.count()

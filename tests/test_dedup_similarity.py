@@ -1,0 +1,170 @@
+"""Dedup (exact/minhash/simhash/ngram) + ANN similarity search operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark.operators import dedup, similarity_search, text_analysis
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a completely different document about spark query optimization and shuffles",
+        "medical order processing requires patient identification and code matching",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))                        # original
+        rows.append((i * 10 + 1, t))                    # exact dup
+        toks = t.split()
+        toks[len(toks) // 2] = "CHANGED"
+        rows.append((i * 10 + 2, " ".join(toks)))       # near dup (1 token)
+    rows.append((99, "tiny"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = dedup.exact_dedup(dup_docs, "text", "doc_id").toPandas()
+    # 3 unique bases + 3 near-dups + tiny = 7 distinct hashes
+    assert len(out) == 7
+    assert out["n_copies"].sum() == 10
+    dups = out[out["n_copies"] == 2]
+    assert set(dups["keep_id"]) == {0, 10, 20}
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    # bands=32 (2 rows/band): collision prob for jaccard 0.5 is
+    # 1-(1-0.25)^32 ≈ 0.9999 — deterministic-in-practice candidate recall
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, "text", "doc_id", n_hashes=64, bands=32, shingle_k=3,
+        jaccard_threshold=0.33,
+    ).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    # exact dups always pair; near-dups (1 token changed, shingle_k=3) too
+    for b in (0, 10, 20):
+        assert (b, b + 1) in got
+        assert (b, b + 2) in got or (b + 1, b + 2) in got
+    # unrelated docs never pair
+    assert not any(a // 10 != b // 10 for a, b in got)
+
+
+def test_minhash_exact_dup_jaccard_is_one(dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, "text", "doc_id", shingle_k=3, jaccard_threshold=0.99
+    ).toPandas()
+    exact = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    for b in (0, 10, 20):
+        assert exact[(b, b + 1)] == 1.0
+
+
+def test_simhash_near_pairs(dup_docs):
+    pairs = dedup.simhash_near_pairs(dup_docs, "text", "doc_id", max_hamming=10).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    for b in (0, 10, 20):
+        assert (b, b + 1) in got  # exact dup -> hamming 0
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    for b in (0, 10, 20):
+        assert ham[(b, b + 1)] == 0
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, "text", "doc_id", k=3, threshold=0.9).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert got == {(0, 1), (10, 11), (20, 21)}
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    q = rows[0]["embedding"]
+    ours = similarity_search.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=5
+    ).toPandas()
+
+    M = np.array([r["embedding"] for r in rows[1:]], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    sims = M @ qv / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    ids = np.array([r["vec_id"] for r in rows[1:]])
+    order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+    assert list(ours["vec_id"]) == [int(ids[i]) for i in order]
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    res = similarity_search.lsh_topk(emb.filter(F.col("vec_id") != 0), q, k=5, n_planes=4)
+    out = res.toPandas()
+    assert 0 < len(out) <= 5
+    # the query's own bucket must contain its nearest LSH-visible neighbors:
+    # every returned similarity is a real cosine in [-1, 1]
+    assert out["cos_sim"].between(-1.0, 1.0).all()
+
+
+def test_cosine_near_pairs_self_duplicates(spark):
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.99, 0.14, 0.0, 0.0]), (4, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity_search.cosine_near_pairs(emb, threshold=0.95, n_planes=4).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (1, 2) in got
+    assert (3, 4) not in got and (1, 4) not in got
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat is one of the animals that live in the house"),
+        (2, "el gato es uno de los animales que viven en la casa"),
+        (3, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_analysis.lang_id(df, "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_guess"] == "en"
+    assert out.loc[2, "lang_guess"] == "es"
+    assert out.loc[3, "lang_guess"] == "und"
+
+    q = text_analysis.quality_score(df, "text").toPandas().set_index("doc_id")
+    assert q.loc[1, "quality"] > q.loc[3, "quality"]
+    assert (q["quality"] <= 1.0).all()
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "alpha  beta   gamma delta epsilon zeta eta theta iota kappa"),
+         (3, "totally different words here for the fingerprint check ok")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select("doc_id", text_analysis.fingerprint(F.col("text")).alias("fp"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "fp"] == out.loc[2, "fp"]
+    assert out.loc[1, "fp"] != out.loc[3, "fp"]
+
+
+def test_multimodal_plumbing(spark):
+    from medical_ocr_service_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, 60)
+    feats = multimodal.decode_features(media, fake=True).toPandas()
+    assert len(feats) == 60
+    assert feats["feat"].map(len).eq(16).all()
+    imgs = feats[feats["kind"] == "image"]
+    assert (~imgs["valid"]).sum() > 0  # some images fail the dimension gate
+    # determinism: same payload -> same features
+    feats2 = multimodal.decode_features(media, fake=True).toPandas()
+    assert feats.sort_values("media_id")["sha256"].tolist() == feats2.sort_values("media_id")["sha256"].tolist()
+
+    frames = multimodal.frame_sample_plan(media, every_ms=500).toPandas()
+    assert (frames.groupby("media_id").size() > 0).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|decoding"):
+        multimodal.decode_features(media, fake=False).collect()
