@@ -397,3 +397,42 @@ def synthesize_dimensions(seed: int = config.CORPUS_SEED) -> dict[str, list[dict
         "nomencladores": nomencladores,
         "acuerdos_prestador": acuerdos,
     }
+
+
+PRESTADORES_SCHEMA = (
+    "id_prestador int, id_externo string, ruc string, nombre_fantasia string, "
+    "raz_soc_nombre string, registro_profesional string, tipo string, "
+    "ranking double, nombre_normalizado string, cantidad_acuerdos int, "
+    "estado string, tenant_id string"
+)
+NOMENCLADORES_SCHEMA = (
+    "id_nomenclador int, id_externo string, id_servicio int, especialidad string, "
+    "descripcion string, desc_nomenclador string, grupo string, subgrupo string, "
+    "descripcion_normalizada string, sinonimos array<string>, "
+    "palabras_clave array<string>, cantidad_acuerdos int, estado string, tenant_id string"
+)
+ACUERDOS_SCHEMA = (
+    "id_acuerdo int, prest_id_prestador int, id_nomenclador int, plan_id_plan int, "
+    "precio double, precio_normal double, precio_diferenciado double, "
+    "precio_internado double, vigente string, fecha_vigencia date, tenant_id string"
+)
+
+
+def dims_dataframes(spark, seed: int = config.CORPUS_SEED):
+    """Dimension tables as Spark DataFrames with explicit schemas (no inference)."""
+    import datetime
+
+    dims = synthesize_dimensions(seed=seed)
+    prest = spark.createDataFrame(
+        [tuple(p.values()) for p in dims["prestadores"]], schema=PRESTADORES_SCHEMA
+    )
+    nom = spark.createDataFrame(
+        [tuple(n.values()) for n in dims["nomencladores"]], schema=NOMENCLADORES_SCHEMA
+    )
+    ac_rows = []
+    for a in dims["acuerdos_prestador"]:
+        r = dict(a)
+        r["fecha_vigencia"] = datetime.date.fromisoformat(r["fecha_vigencia"])
+        ac_rows.append(tuple(r.values()))
+    ac = spark.createDataFrame(ac_rows, schema=ACUERDOS_SCHEMA)
+    return prest, nom, ac

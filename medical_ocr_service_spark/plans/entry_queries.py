@@ -769,3 +769,295 @@ def s8_coalesce_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("s_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 additions: scalar-function coverage + training-data ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "f5_date_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%d/%m/%Y') AS fecha_ddmmyyyy,
+           CAST(strptime(strftime(l_shipdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS fecha_iso
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def f5_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F5 (validation.service.js:169-175): DD/MM/YYYY parse/format."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    fmt = F.date_format("l_shipdate", "dd/MM/yyyy")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fmt.alias("fecha_ddmmyyyy"),
+        F.to_date(fmt, "dd/MM/yyyy").alias("fecha_iso"),
+    )
+
+
+@query(
+    "f6_id_type_classifier",
+    """
+    SELECT c_custkey,
+           CASE WHEN length(CAST(c_custkey * 1000003 AS VARCHAR)) IN (7, 8) THEN 'DNI'
+                WHEN length(CAST(c_custkey * 1000003 AS VARCHAR)) > 10 THEN 'afiliado'
+                ELSE 'desconocido' END AS tipo_id
+    FROM customer
+    """,
+)
+def f6_id_type_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F6 (validation.service.js:74-82): id-type by digit length."""
+    from ..functions.text import id_type
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        id_type((F.col("c_custkey") * 1000003).cast("string")).alias("tipo_id"),
+    )
+
+
+@query(
+    "f16_split_normalize",
+    """
+    SELECT p_partkey,
+           array_to_string(list_sort(string_split(p_type, ' ')), '|') AS type_tokens
+    FROM part
+    """,
+)
+def f16_split_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F16 (data-ingest.routes.js:679-684): split -> trim -> rejoin."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.sort_array(F.split("p_type", " ")), "|").alias("type_tokens"),
+    )
+
+
+@query(
+    "a9_quota_check",
+    """
+    SELECT user_id, COUNT(*) AS used,
+           COUNT(*) > 150 AS over_quota
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def a9_quota_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A9 (usage.service.js:91-115): month-to-date usage vs limit."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("used"))
+        .withColumn("over_quota", F.col("used") > 150)
+    )
+
+
+@query(
+    "t7_alternatives_slice",
+    """
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+      FROM lineitem)
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY rk) AS alternativas
+    FROM ranked WHERE rk BETWEEN 2 AND 4
+    GROUP BY l_orderkey
+    """,
+)
+def t7_alternatives_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T7 (matching.service.js:395-406): drop best, take next-k slice."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), "l_linenumber"
+    )
+    ranked = li.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk").between(2, 4)
+    )
+    return ranked.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "l_linenumber"))),
+                lambda s: s["l_linenumber"].cast("string"),
+            ),
+            ",",
+        ).alias("alternativas")
+    )
+
+
+@query(
+    "p_dynamic_filters",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value BETWEEN 10 AND 400
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def p_dynamic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P1-P3: composed dynamic predicates (all pushed to the scan)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("value").between(10, 400))
+        .filter(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "p7_row_validity_gate",
+    """
+    WITH indexed AS (
+      SELECT *, row_number() OVER (ORDER BY event_id) AS fila FROM events)
+    SELECT fila, event_id FROM indexed
+    WHERE props IS NULL OR props = '' OR value IS NULL OR CAST(value AS VARCHAR) = ''
+    """,
+)
+def p7_row_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P7 (data-ingest.routes.js:301-307): invalid rows -> error side
+    output with 1-based input index."""
+    from ..sources.readers import split_valid_invalid
+
+    e = _t(spark, sf_dir, "events")
+    _, errors = split_valid_invalid(e, ["props", "value"], order_col="event_id")
+    return errors.select("fila", "event_id")
+
+
+@query(
+    "stopword_punct_features",
+    """
+    SELECT doc_id,
+           ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains(['the','of','and','to','in','is','that','a',
+                                   'el','la','de','que','y','en','los','se',
+                                   'le','et','les','des','un','est',
+                                   'der','die','und','das','ist','von','den','ein'], x))) AS n_stopwords
+    FROM documents
+    """,
+)
+def stopword_punct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: punctuation/stopword quality features."""
+    from ..operators.text_analysis import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    all_stop = [w for ws in (STOPWORDS[k] for k in ["en", "es", "fr", "de"]) for w in ws]
+    arr = F.array(*[F.lit(w) for w in all_stop])
+    toks = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+
+
+# --- training-data ops without a practical SQL twin (rows-only checks) -----
+
+@query("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (rows-only: murmur3 seeds
+    are not reproducible in DuckDB SQL)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.8
+    )
+
+
+@query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over documents (rows-only)."""
+    from ..operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query("embedding_near_dup_pairs")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking (rows-only)."""
+    from ..operators.similarity_search import cosine_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(e, threshold=0.95, n_planes=6)
+
+
+@query("lsh_ann_topk")
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate top-k for the vec_id=0 query (rows-only; the
+    exact baseline ann_cosine_topk has the DuckDB oracle)."""
+    from ..operators.similarity_search import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    return lsh_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_planes=6)
+
+
+@query("doc_fingerprints")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (rows-only: murmur3 not in DuckDB)."""
+    from ..operators.text_analysis import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query("lang_id_multi")
+def lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-language stopword lang-ID with argmax guess (rows-only; the 2-lang
+    variant lang_id_stopword carries the SQL oracle)."""
+    from ..operators.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "text").select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_guess"
+    )
+
+
+@query("extraction_e2e_headers")
+def extraction_e2e_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship, end-to-end (rows-only): synthesized interleaved corpus ->
+    extraction -> pre-visacion header table. Non-SQL-expressible (pandas-UDF
+    boilerplate strip / XY-cut / regex state machines)."""
+    import __spark_entry__ as entry_mod
+
+    docs_df, media_df = entry_mod._interleaved_corpus(spark, n_docs=300)
+    from ..corpus import generator
+    from ..plans import previsacion
+
+    prest, nom, ac = generator.dims_dataframes(spark)
+    header, _ = previsacion.run_previsacion(docs_df, media_df, prest, nom, ac)
+    return header
+
+
+@query("extraction_e2e_details")
+def extraction_e2e_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship detail table with ordered items + alternatives (rows-only)."""
+    import __spark_entry__ as entry_mod
+
+    docs_df, media_df = entry_mod._interleaved_corpus(spark, n_docs=300)
+    from ..corpus import generator
+    from ..plans import previsacion
+
+    prest, nom, ac = generator.dims_dataframes(spark)
+    _, detail = previsacion.run_previsacion(docs_df, media_df, prest, nom, ac)
+    return detail.drop("matches_alternativos")
