@@ -1,0 +1,176 @@
+"""Feedback loop: approve/reject/correct + training-dataset build + outbox.
+
+Re-expresses the reference's POST /ordenes/:id/feedback flow (SURVEY §3.3,
+/root/reference/src/routes/v1/feedback.routes.js:26-174) and the auto-training
+dataset builder (src/services/auto-training.service.js:153-358) as batch
+DataFrame transforms:
+
+  * apply_feedback        — guarded state transitions PENDIENTE->APROBADA /
+    RECHAZADA (pre-visacion.service.js:420-483) and per-item corrections
+    (:485-547) via dot-path-free struct updates;
+  * feedback_matching_rows — the per-correction feedback fact table;
+  * build_training_dataset — J11 non-equi anti-join (orders not yet covered
+    by a succeeded finetune job) + S11 JSONL message shaping;
+  * webhook_outbox        — S12 as a table: payload JSON + HMAC-style
+    signature column + retry schedule; network delivery is out of scope, the
+    dead-letter shape is the `webhook_failures` analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VALID_ACTIONS = ("APROBAR", "RECHAZAR", "CORREGIR")
+RETRY_SCHEDULE_S = [5, 15, 30, 60, 120]  # webhook.service.js:99-101
+
+
+def apply_feedback(header: DataFrame, feedback: DataFrame) -> DataFrame:
+    """Guarded state machine on the header table.
+
+    feedback: (doc_id, accion, motivo). Transitions only fire from PENDIENTE —
+    a second APROBAR/RECHAZAR on the same doc is a no-op, mirroring the
+    reference's `WHERE estado = 'PENDIENTE'` guard."""
+    fb = (
+        feedback.filter(F.col("accion").isin(*VALID_ACTIONS))
+        .dropDuplicates(["doc_id"])
+        .select(
+            F.col("doc_id").alias("_fb_doc"),
+            F.col("accion").alias("_accion"),
+            F.col("motivo").alias("_motivo"),
+        )
+    )
+    # capture the guard BEFORE the estado column is rewritten — later
+    # withColumns would otherwise see the post-transition state
+    joined = header.join(
+        F.broadcast(fb), header.doc_id == fb._fb_doc, "left"
+    ).withColumn("_was_pendiente", F.col("estado") == "PENDIENTE")
+    guarded = F.col("_was_pendiente")
+    return (
+        joined.withColumn(
+            "estado",
+            F.when(guarded & (F.col("_accion") == "APROBAR"), "APROBADA")
+            .when(guarded & (F.col("_accion") == "RECHAZAR"), "RECHAZADA")
+            .otherwise(F.col("estado")),
+        )
+        .withColumn(
+            "motivo_rechazo",
+            F.when(guarded & (F.col("_accion") == "RECHAZAR"), F.col("_motivo")),
+        )
+        .withColumn(
+            "validado_en",
+            F.when(
+                guarded & F.col("_accion").isin("APROBAR", "RECHAZAR"),
+                F.current_timestamp(),
+            ),
+        )
+        .drop("_fb_doc", "_accion", "_motivo", "_was_pendiente")
+    )
+
+
+def apply_corrections(detail: DataFrame, corrections: DataFrame) -> DataFrame:
+    """Per-item corrections (CORREGIR): corrections(doc_id, item,
+    nomenclador_id_corregido, comentario) -> detail with corrected columns +
+    estado_item, original suggestion preserved."""
+    c = corrections.select(
+        F.col("doc_id").alias("_c_doc"),
+        F.col("item").alias("_c_item"),
+        "nomenclador_id_corregido",
+        F.col("comentario").alias("correccion_comentario"),
+    )
+    joined = detail.join(
+        F.broadcast(c),
+        (detail.doc_id == c._c_doc) & (detail.item == c._c_item),
+        "left",
+    )
+    return joined.withColumn(
+        "estado_item",
+        F.when(F.col("nomenclador_id_corregido").isNotNull(), "CORREGIDO").otherwise(
+            "SUGERIDO"
+        ),
+    ).drop("_c_doc", "_c_item")
+
+
+def feedback_matching_rows(detail_corrected: DataFrame) -> DataFrame:
+    """feedback_matching fact rows: one per corrected item, carrying the
+    (wrong suggestion, right answer) pair the matcher learns from
+    (feedback.routes.js:104-154)."""
+    return detail_corrected.filter(F.col("estado_item") == "CORREGIDO").select(
+        "doc_id",
+        "item",
+        F.col("descripcion_original").alias("texto_consulta"),
+        F.col("nomenclador_id_sugerido").alias("id_sugerido"),
+        F.col("nomenclador_id_corregido").alias("id_correcto"),
+        F.col("similitud").alias("similitud_sugerida"),
+        F.lit("nomenclador").alias("tipo"),
+    )
+
+
+def build_training_dataset(
+    header_validated: DataFrame,
+    finetune_jobs: DataFrame | None,
+    limit: int = 500,
+) -> DataFrame:
+    """S11+J11: newest `limit` validated orders NOT yet consumed by a
+    succeeded finetune job (non-equi anti-join on completion time), shaped as
+    one JSONL chat-message row per order."""
+    base = header_validated.filter(F.col("estado") == "APROBADA")
+    if finetune_jobs is not None:
+        done = finetune_jobs.filter(F.col("estado") == "SUCCEEDED").select(
+            F.col("completado_en").alias("_ft_done")
+        )
+        # NOT EXISTS (job completed after this order was validated)
+        base = base.join(
+            F.broadcast(done),
+            base.validado_en <= done._ft_done,
+            "left_anti",
+        )
+    newest = base.orderBy(F.desc("validado_en"), F.desc("doc_id")).limit(limit)
+    messages = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.concat(
+                        F.lit("Extraer orden medica: paciente "),
+                        F.coalesce("paciente_nombre", F.lit("?")),
+                    ).alias("content"),
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.to_json(
+                        F.struct(
+                            "paciente_ci",
+                            "medico_matricula",
+                            "diagnostico_codigo_cie",
+                            "n_practicas",
+                        )
+                    ).alias("content"),
+                ),
+            ).alias("messages")
+        )
+    )
+    return newest.select("doc_id", messages.alias("jsonl"))
+
+
+def webhook_outbox(header: DataFrame, secret: str = "whsec_demo") -> DataFrame:
+    """S12 outbox rows: event name by state, JSON payload, deterministic
+    signature (sha256 over secret+payload — HMAC stand-in, same shape as
+    webhook.service.js:63), retry schedule attached for the dispatcher."""
+    payload = F.to_json(
+        F.struct(
+            "doc_id", "estado", "confianza_general", "requiere_revision", "n_practicas"
+        )
+    )
+    return header.select(
+        "doc_id",
+        F.when(F.col("estado") == "RECHAZADA", "previsacion.rechazada")
+        .when(F.col("estado") == "APROBADA", "previsacion.aprobada")
+        .otherwise("previsacion.generada")
+        .alias("evento"),
+        payload.alias("payload"),
+        F.sha2(F.concat(F.lit(secret), payload), 256).alias("firma"),
+        F.lit(RETRY_SCHEDULE_S).alias("retry_schedule_s"),
+        F.lit(0).alias("intentos"),
+        F.lit("PENDIENTE").alias("estado_envio"),
+    )

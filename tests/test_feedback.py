@@ -1,0 +1,99 @@
+"""Feedback state machine, corrections, training dataset, outbox (§3.3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark.plans import feedback as fb
+
+
+@pytest.fixture(scope="module")
+def header(spark):
+    rows = [
+        ("d1", "PENDIENTE", 0.9, False, 2, "Ana", "123", "55555", "K29.5"),
+        ("d2", "PENDIENTE", 0.7, True, 1, "Luis", "456", "44444", "I10"),
+        ("d3", "APROBADA", 0.95, False, 3, "Eva", "789", "33333", "E11.9"),
+        ("d4", "PENDIENTE", 0.8, True, 1, "Juan", "321", "22222", "M54.5"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, estado string, confianza_general double, "
+        "requiere_revision boolean, n_practicas int, paciente_nombre string, "
+        "paciente_ci string, medico_matricula string, diagnostico_codigo_cie string",
+    )
+
+
+def test_guarded_state_transitions(spark, header):
+    fdbk = spark.createDataFrame(
+        [("d1", "APROBAR", None), ("d2", "RECHAZAR", "ilegible"),
+         ("d3", "RECHAZAR", "ya aprobada"), ("dX", "APROBAR", None)],
+        "doc_id string, accion string, motivo string",
+    )
+    out = fb.apply_feedback(header, fdbk).toPandas().set_index("doc_id")
+    assert out.loc["d1", "estado"] == "APROBADA"
+    assert out.loc["d2", "estado"] == "RECHAZADA"
+    assert out.loc["d2", "motivo_rechazo"] == "ilegible"
+    # guard: d3 was already APROBADA -> RECHAZAR is a no-op
+    assert out.loc["d3", "estado"] == "APROBADA"
+    assert out.loc["d4", "estado"] == "PENDIENTE"
+
+
+def test_corrections_and_feedback_rows(spark):
+    detail = spark.createDataFrame(
+        [("d1", 1, "HEMOGRAMA", 5, 0.92), ("d1", 2, "GLUCEMIA", 7, 0.88),
+         ("d2", 1, "RX TORAX", 9, 0.75)],
+        "doc_id string, item int, descripcion_original string, "
+        "nomenclador_id_sugerido int, similitud double",
+    )
+    corr = spark.createDataFrame(
+        [("d1", 2, 11, "era perfil lipidico")],
+        "doc_id string, item int, nomenclador_id_corregido int, comentario string",
+    )
+    out = fb.apply_corrections(detail, corr).toPandas()
+    by = out.set_index(["doc_id", "item"])
+    assert by.loc[("d1", 2), "estado_item"] == "CORREGIDO"
+    assert by.loc[("d1", 2), "nomenclador_id_corregido"] == 11
+    assert by.loc[("d1", 1), "estado_item"] == "SUGERIDO"
+
+    rows = fb.feedback_matching_rows(
+        fb.apply_corrections(detail, corr)
+    ).toPandas()
+    assert len(rows) == 1
+    assert rows.iloc[0]["id_sugerido"] == 7 and rows.iloc[0]["id_correcto"] == 11
+    assert rows.iloc[0]["tipo"] == "nomenclador"
+
+
+def test_training_dataset_antijoin(spark, header):
+    fdbk = spark.createDataFrame(
+        [("d1", "APROBAR", None), ("d2", "APROBAR", None)],
+        "doc_id string, accion string, motivo string",
+    )
+    validated = fb.apply_feedback(header, fdbk)
+    ds_all = fb.build_training_dataset(validated, None).toPandas()
+    # d1, d2 newly approved + d3 already approved (validado_en null -> orderBy
+    # puts it last but it IS included)
+    assert set(ds_all["doc_id"]) == {"d1", "d2", "d3"}
+    rec = json.loads(ds_all.iloc[0]["jsonl"])
+    assert [m["role"] for m in rec["messages"]] == ["user", "assistant"]
+
+    # a finetune job completed in the future consumes everything
+    jobs = spark.createDataFrame(
+        [("SUCCEEDED", "2099-01-01 00:00:00")],
+        "estado string, completado_en string",
+    ).withColumn("completado_en", F.col("completado_en").cast("timestamp"))
+    ds_after = fb.build_training_dataset(validated, jobs).toPandas()
+    # d3 has NULL validado_en -> non-equi condition unknown -> kept by anti-join
+    assert set(ds_after["doc_id"]) == {"d3"}
+
+
+def test_webhook_outbox(spark, header):
+    out = fb.webhook_outbox(header).toPandas().set_index("doc_id")
+    assert out.loc["d1", "evento"] == "previsacion.generada"
+    assert out.loc["d3", "evento"] == "previsacion.aprobada"
+    assert out["firma"].str.len().eq(64).all()
+    assert out.loc["d1", "retry_schedule_s"].tolist() == [5, 15, 30, 60, 120]
+    p = json.loads(out.loc["d2", "payload"])
+    assert p["doc_id"] == "d2" and p["requiere_revision"] is True
