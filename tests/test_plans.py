@@ -76,11 +76,13 @@ def test_relational_queries_have_no_python_udfs(spark, sf_dir):
 def test_q1_whole_stage_codegen(spark, sf_dir):
     q = entry_mod.queries()["q1_pricing_summary"]
     df = q(spark, sf_dir)
-    codegen = _explain(df, "codegen")
-    assert "WholeStageCodegen subtrees" in codegen
-    assert "Found 0 WholeStageCodegen" not in codegen
+    df.collect()  # AQE finalizes the plan only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(" in final, final
     # partial aggregation must be present (map-side combine before shuffle)
-    assert _plan(df).count("HashAggregate") >= 2
+    assert final.count("HashAggregate") >= 2
 
 
 def test_extraction_has_single_doc_shuffle(spark, corpus_dir):
