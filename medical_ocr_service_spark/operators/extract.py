@@ -137,3 +137,52 @@ def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
         "requiere_revision",
         F.col("fields.confianza_extraccion") < F.lit(config.REVIEW_THRESHOLD),
     )
+
+
+def reassembled_docs_salted(
+    docs: DataFrame, media: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Skew-mitigated two-phase reassembly for pathological many-span docs
+    (north_rule salted-key mitigation; SURVEY §7 hard parts).
+
+    Phase 1: groupBy(doc_id, salt) where salt = pmod(hash(offset), n_salts) —
+    a hot document's spans spread over n_salts reducers, each producing a
+    sorted partial list. Phase 2: groupBy(doc_id) merges the (salt-tagged)
+    partials and flattens them back into one offset-sorted sequence.
+
+    Ordering is preserved because BOTH phases sort on offset (structs with
+    offset leading), never on arrival order. Output schema == reassembled_docs.
+    """
+    cleaned = clean_spans(docs, media)
+
+    phase1 = (
+        cleaned.withColumn("_salt", F.pmod(F.hash("offset"), F.lit(n_salts)))
+        .groupBy("doc_id", "_salt")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("_part")
+        )
+    )
+
+    merged = phase1.groupBy("doc_id").agg(
+        F.sort_array(F.flatten(F.collect_list("_part"))).alias("_sorted")
+    )
+
+    spans = F.transform(
+        "_sorted",
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            (i + 1).cast("int").alias("order"),
+        ),
+    )
+    full_text = F.array_join(
+        F.transform(
+            F.filter("_sorted", lambda s: s["text"].isNotNull() & (s["text"] != "")),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return merged.select("doc_id", spans.alias("spans"), full_text.alias("full_text"))

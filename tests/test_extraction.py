@@ -136,3 +136,15 @@ def test_practica_items_match_golden(spark, loaded):
     )
     assert ours.exceptAll(g).count() == 0
     assert g.exceptAll(ours).count() == 0
+
+
+def test_salted_reassembly_equals_plain(spark, loaded):
+    """Two-phase salted reassembly is bit-identical to the plain path,
+    including on the ~1000-span skew doc."""
+    docs, media, _, _ = loaded
+    plain = extract.reassembled_docs(docs, media).select("doc_id", "spans", "full_text")
+    salted = extract.reassembled_docs_salted(docs, media, n_salts=8).select(
+        "doc_id", "spans", "full_text"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
