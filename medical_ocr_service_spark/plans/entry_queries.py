@@ -1061,3 +1061,57 @@ def extraction_e2e_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     prest, nom, ac = generator.dims_dataframes(spark)
     _, detail = previsacion.run_previsacion(docs_df, media_df, prest, nom, ac)
     return detail.drop("matches_alternativos")
+
+
+@query(
+    "f11_json_parse_rescue",
+    """
+    SELECT event_id,
+           COALESCE(CAST(json_extract(props, '$.k') AS INTEGER),
+                    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)) AS k_value
+    FROM events WHERE event_id <= 500
+    """,
+)
+def f11_json_parse_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F11 (gpt-vision.service.js:84-94): from_json with regex rescue
+    for malformed payloads."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    parsed = F.from_json("props", "k int")
+    return e.select(
+        "event_id",
+        F.coalesce(
+            parsed["k"],
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int"),
+        ).alias("k_value"),
+    )
+
+
+@query(
+    "s10_export_join",
+    """
+    SELECT n_name, r_name, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    ORDER BY n_name
+    """,
+)
+def s10_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S10 (data-ingest.routes.js:428-479): ordered 2-way-join export."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )

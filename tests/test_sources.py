@@ -1,0 +1,98 @@
+"""Sources/sinks: CSV alias import, validity gate, JSONL sink, upsert merge."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark.operators.upsert import coalesce_upsert, idempotent_result_sink
+from medical_ocr_service_spark.sources import readers
+
+
+def test_csv_alias_import(spark, tmp_path):
+    p = str(tmp_path / "masters.csv")
+    with open(p, "w") as f:
+        f.write("Codigo Externo,DESCRIPCION,Grupo X\nA1,Hemograma,LAB\nA2,Glucemia,LAB\n")
+    alias = {"codigo_externo": "id_externo", "descripcion": "descripcion"}
+    df = readers.read_csv_with_aliases(spark, p, alias)
+    assert set(df.columns) == {"id_externo", "descripcion", "grupo_x"}
+    assert df.count() == 2
+
+
+def test_split_valid_invalid(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("c", ""), ("d", "w")],
+        "k string, v string",
+    )
+    valid, errors = readers.split_valid_invalid(df, ["k", "v"], order_col="v")
+    assert valid.count() == 2
+    err = errors.toPandas().sort_values("fila")
+    assert list(err["fila"]) != []
+    msgs = set(err["error"])
+    assert any("k" in m for m in msgs) and any("v" in m for m in msgs)
+
+
+def test_write_jsonl(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "jsonl")
+    readers.write_jsonl(df, out)
+    lines = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            lines += open(os.path.join(out, fn)).read().splitlines()
+    recs = sorted(json.loads(ln)["id"] for ln in lines)
+    assert recs == [1, 2]
+
+
+def test_coalesce_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, 100, "old-a", 10.0), (2, 200, "old-b", 20.0)],
+        "id long, key long, name string, val double",
+    )
+    source = spark.createDataFrame(
+        [(100, None, 11.0), (300, "new-c", 30.0)],
+        "key long, name string, val double",
+    )
+    out = (
+        coalesce_upsert(target, source, keys=["key"], surrogate_id="id")
+        .toPandas()
+        .set_index("key")
+    )
+    # matched: non-null source columns win, null source keeps old
+    assert out.loc[100, "name"] == "old-a" and out.loc[100, "val"] == 11.0
+    # untouched row intact
+    assert out.loc[200, "name"] == "old-b" and out.loc[200, "val"] == 20.0
+    # insert: new key with surrogate id assigned deterministically
+    assert out.loc[300, "name"] == "new-c"
+    assert out.loc[300, "id"] > 0
+    # determinism of the surrogate
+    out2 = (
+        coalesce_upsert(target, source, keys=["key"], surrogate_id="id")
+        .toPandas()
+        .set_index("key")
+    )
+    assert out.loc[300, "id"] == out2.loc[300, "id"]
+
+
+def test_idempotent_result_sink(spark):
+    existing = spark.createDataFrame([("h1", "old"), ("h2", "old")], "h string, v string")
+    incoming = spark.createDataFrame([("h2", "new"), ("h3", "new")], "h string, v string")
+    out = idempotent_result_sink(existing, incoming, "h").toPandas().set_index("h")
+    assert len(out) == 3
+    assert out.loc["h1", "v"] == "old"
+    assert out.loc["h2", "v"] == "new"  # conflict -> incoming wins
+    assert out.loc["h3", "v"] == "new"
+
+
+def test_binary_file_source(spark, tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "ok.pdf").write_bytes(b"x" * 100)
+    (d / "ok.jpg").write_bytes(b"y" * 100)
+    (d / "bad.exe").write_bytes(b"z" * 100)
+    (d / "big.pdf").write_bytes(b"w" * (11 * 1024 * 1024))
+    df = readers.binary_file_source(spark, str(d))
+    names = {os.path.basename(r["path"]) for r in df.select("path").collect()}
+    assert names == {"ok.pdf", "ok.jpg"}
