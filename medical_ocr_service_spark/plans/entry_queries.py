@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -71,8 +71,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast(d4)).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast(d4)).cast("double").alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast(d4) * (F.lit(1) - F.col("l_discount")).cast(d4)
+            # subtract in DECIMAL space: casting the computed double
+            # (1 - discount) rounds differently across engines at .00005
+            # boundaries (shortest-repr HALF_UP vs binary-value rounding)
+            # ROUND(.,4) before the double cast: a scale-8 decimal sum's
+            # scaled integer exceeds 2^53, where engines' decimal->double
+            # conversions can differ by 1 ulp; at scale 4 both are exact.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(d4)
+                    * (F.lit(1).cast(d4) - F.col("l_discount").cast(d4))
+                ),
+                4,
             ).cast("double").alias("sum_disc_price"),
             F.round(
                 F.sum(F.col("l_quantity").cast(d4)).cast("double") / F.count("*"), 4
@@ -315,15 +325,20 @@ def a16_group_concat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
     FROM lineitem
     QUALIFY row_number() OVER (
-        PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+        PARTITION BY l_orderkey
+        ORDER BY l_shipdate DESC, l_linenumber DESC, l_extendedprice DESC,
+                 l_partkey DESC, l_suppkey DESC) = 1
     """,
 )
 def t3_latest_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY T3 (matching.service.js:251-269): latest-valid row per key via
     row_number window argmax with total tie-break."""
     li = _t(spark, sf_dir, "lineitem")
+    # the synthetic data can repeat (linenumber, shipdate) within an order —
+    # the tie-break must be TOTAL for cross-engine determinism
     w = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("l_shipdate"), F.desc("l_linenumber")
+        F.desc("l_shipdate"), F.desc("l_linenumber"), F.desc("l_extendedprice"),
+        F.desc("l_partkey"), F.desc("l_suppkey")
     )
     return (
         li.withColumn("rn", F.row_number().over(w))
@@ -861,7 +876,8 @@ def a9_quota_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT l_orderkey, l_linenumber, l_extendedprice,
              row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+                                ORDER BY l_extendedprice DESC, l_linenumber,
+                                         l_partkey, l_suppkey) AS rk
       FROM lineitem)
     SELECT l_orderkey,
            string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY rk) AS alternativas
@@ -873,7 +889,7 @@ def t7_alternatives_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY T7 (matching.service.js:395-406): drop best, take next-k slice."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("l_extendedprice"), "l_linenumber"
+        F.desc("l_extendedprice"), "l_linenumber", "l_partkey", "l_suppkey"
     )
     ranked = li.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk").between(2, 4)
