@@ -108,3 +108,80 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stateful cross-batch exact dedup (applyInPandasWithState).
+
+    Keyed by content hash of the document's span payload; the first arrival
+    of a hash is emitted, later arrivals (same or later micro-batches) are
+    dropped. State = one boolean per hash, kept forever (NoTimeout) — the
+    streaming analogue of the reference's `archivo_hash UNIQUE` dedup
+    (feedback.service.js:28-58). At scale, state is hash-partitioned across
+    executors by the group key; per-key state is 1 byte.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_dir)
+    )
+    hashed = stream.select(
+        "doc_id", F.sha2(F.to_json("spans"), 256).alias("content_hash")
+    )
+
+    out_schema = "content_hash string, doc_id string, first_seen boolean"
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        already = state.exists
+        first_doc = None
+        n = 0
+        for pdf in pdfs:
+            if len(pdf) and first_doc is None:
+                first_doc = pdf["doc_id"].iloc[0]
+            n += len(pdf)
+        if already or first_doc is None:
+            yield pd.DataFrame(
+                {"content_hash": [], "doc_id": [], "first_seen": []}
+            ).astype({"content_hash": str, "doc_id": str, "first_seen": bool})
+        else:
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    "content_hash": [key[0]],
+                    "doc_id": [first_doc],
+                    "first_seen": [True],
+                }
+            )
+
+    deduped = hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    # update output mode requires a sink that accepts upserts; parquet is
+    # append-only, so write per-batch via foreachBatch (rows are emitted at
+    # most once per hash anyway, so append semantics hold)
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(output_path)
+
+    writer = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
