@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--media", required=True, help="parquet dir/file of media layouts")
     ap.add_argument("--output", required=True, help="output root (results + _lineage)")
     ap.add_argument("--salted", action="store_true", help="two-phase salted reassembly")
+    ap.add_argument(
+        "--broadcast-media",
+        action="store_true",
+        help="broadcast the media table (fits-in-memory media; skips the "
+        "media-side shuffle — see extract.clean_spans)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
@@ -58,7 +64,7 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     media = spark.read.parquet(args.media)
     ck = CheckpointedExtraction(args.output)
-    metrics = ck.run(docs, media)
+    metrics = ck.run(docs, media, broadcast_media=args.broadcast_media)
     print(json.dumps(metrics, default=str))
     spark.stop()
 

@@ -50,10 +50,18 @@ def exploded_spans(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
-def clean_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
+def clean_spans(
+    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+) -> DataFrame:
     """Per-span cleaned text: boilerplate-strip for text, XY-cut for media.
 
     Returns (doc_id, kind, text, media_ref, offset) with text cleaned.
+
+    ``broadcast_media=True`` turns the media lookup into a broadcast hash
+    join — zero exchanges on the span side. Right when the media table fits
+    executor memory (benches, per-tenant slices). At 10^12-doc scale the
+    media table is itself huge: leave False and bucket BOTH tables by
+    media_ref so the sort-merge join is co-located and shuffle-free.
     """
     spans = exploded_spans(docs)
 
@@ -61,12 +69,14 @@ def clean_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
         "text", strip_boilerplate_udf(F.col("text"))
     )
 
+    media_dim = media.select("media_ref", "layout_json")
+    if broadcast_media:
+        media_dim = F.broadcast(media_dim)
     media_part = (
         spans.filter(F.col("kind") == "media")
         .drop("text")
-        # 1:1 join; media_ref is unique on both sides. In production both
-        # tables are bucketed by media_ref -> no shuffle; here AQE plans it.
-        .join(media.select("media_ref", "layout_json"), "media_ref", "left")
+        # 1:1 join; media_ref is unique on both sides.
+        .join(media_dim, "media_ref", "left")
         .withColumn("text", layout_text_udf(F.col("layout_json")))
         .drop("layout_json")
     )
@@ -74,7 +84,9 @@ def clean_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     return text_part.select(*SPAN_COLS).unionByName(media_part.select(*SPAN_COLS))
 
 
-def ordered_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
+def ordered_spans(
+    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+) -> DataFrame:
     """The span-sequence table: (doc_id, kind, text, media_ref, order).
 
     order = 1-based rank of offset within the document (offsets are unique
@@ -82,20 +94,22 @@ def ordered_spans(docs: DataFrame, media: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("doc_id").orderBy("offset")
     return (
-        clean_spans(docs, media)
+        clean_spans(docs, media, broadcast_media)
         .withColumn("order", F.row_number().over(w).cast("int"))
         .drop("offset")
     )
 
 
-def reassembled_docs(docs: DataFrame, media: DataFrame) -> DataFrame:
+def reassembled_docs(
+    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+) -> DataFrame:
     """One row per doc: ordered span array + full_text.
 
     spans: array<struct<kind,text,media_ref,order>> sorted by order via
     sort_array on a struct with `order` leading — explicitly NOT relying on
     collect_list/shuffle order (SURVEY.md §7 hard parts).
     """
-    cleaned = clean_spans(docs, media)
+    cleaned = clean_spans(docs, media, broadcast_media)
     agg = cleaned.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -122,7 +136,9 @@ def reassembled_docs(docs: DataFrame, media: DataFrame) -> DataFrame:
     )
 
 
-def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
+def extract_documents(
+    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+) -> DataFrame:
     """Full extraction: reassembled spans + structured fields + confidence.
 
     Output: doc_id, spans, full_text, fields.* (struct columns), plus
@@ -131,7 +147,7 @@ def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
     """
     from .. import config
 
-    assembled = reassembled_docs(docs, media)
+    assembled = reassembled_docs(docs, media, broadcast_media)
     with_fields = assembled.withColumn("fields", extract_fields_udf(F.col("full_text")))
     return with_fields.withColumn(
         "requiere_revision",
@@ -140,7 +156,8 @@ def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
 
 
 def reassembled_docs_salted(
-    docs: DataFrame, media: DataFrame, n_salts: int = 16
+    docs: DataFrame, media: DataFrame, n_salts: int = 16,
+    broadcast_media: bool = False,
 ) -> DataFrame:
     """Skew-mitigated two-phase reassembly for pathological many-span docs
     (north_rule salted-key mitigation; SURVEY §7 hard parts).
@@ -153,7 +170,7 @@ def reassembled_docs_salted(
     Ordering is preserved because BOTH phases sort on offset (structs with
     offset leading), never on arrival order. Output schema == reassembled_docs.
     """
-    cleaned = clean_spans(docs, media)
+    cleaned = clean_spans(docs, media, broadcast_media)
 
     phase1 = (
         cleaned.withColumn("_salt", F.pmod(F.hash("offset"), F.lit(n_salts)))

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +104,89 @@ def lsh_topk(
     return (
         bucketed.filter(F.col("_bucket") == qb)
         .select(F.col(id_col), F.round(cosine_col(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized cluster assignment: argmax cosine against the (broadcast)
+    centroid matrix — one numpy matmul per Arrow batch, no per-row Python."""
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy())
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_build(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 16,
+    n_iters: int = 2,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer (the pgvector-IVFFlat analogue — SURVEY D12,
+    embedding.worker.js:154-190 — re-expressed distributed + deterministic).
+
+    Deterministic k-means: initial centroids are the ``n_list`` rows with the
+    smallest md5(id) (seed-free, machine-independent), followed by a FIXED
+    number of Lloyd iterations. Assignment is a vectorized pandas-UDF matmul;
+    the centroid update is a distributed per-dimension mean
+    (posexplode -> groupBy(cluster, pos) avg), only n_list*dim scalars ever
+    reach the driver. Returns (emb + ``_ivf_cluster`` column, centroids)."""
+    seeds = (
+        emb.select(vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_list)
+        .collect()
+    )
+    C = np.array([r[0] for r in seeds], dtype="float64")
+    for _ in range(n_iters):
+        assigned = emb.withColumn("_ivf_cluster", _assign_udf(C)(F.col(vec_col)))
+        means = (
+            assigned.select("_ivf_cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("_ivf_cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        for r in means:
+            C[r["_ivf_cluster"], r["pos"]] = r["m"]
+    return emb.withColumn("_ivf_cluster", _assign_udf(C)(F.col(vec_col))), C
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` centroids nearest the
+    query, score only their inverted lists exactly (JVM cosine), top-k with id
+    tie-break. The 10^12-row scale path: candidate generation is a partition-
+    prunable equi-filter on cluster id instead of a full scan. At scale the
+    assigned table is written partitioned by ``_ivf_cluster`` so the probe
+    filter prunes files; here it prunes rows."""
+    assigned, C = ivf_build(emb, id_col, vec_col, n_list, n_iters)
+    q = np.asarray(query_vec, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(Cn @ qn))[:n_probe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("_ivf_cluster").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), qcol), 6).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )

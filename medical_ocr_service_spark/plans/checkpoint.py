@@ -60,15 +60,17 @@ class CheckpointedExtraction:
         docs: DataFrame,
         media: DataFrame,
         fail_on: str | None = None,
+        broadcast_media: bool = False,
     ) -> dict:
         """Process pending docs, append results, write lineage. Returns the
         lineage record. `fail_on` (doc_id) injects a mid-run failure for
-        crash-recovery tests."""
+        crash-recovery tests. ``broadcast_media`` as in
+        extract.clean_spans."""
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
         pending = self.pending(docs)
 
-        result = extract.extract_documents(pending, media)
+        result = extract.extract_documents(pending, media, broadcast_media)
         if fail_on is not None:
             # deterministic poison row -> task failure after partial work
             result = result.withColumn(

@@ -1017,6 +1017,105 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(e, threshold=0.95, n_planes=6)
 
 
+@query(
+    "a3_detail_stats",
+    """
+    SELECT COUNT(*) AS total_items,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished
+    FROM lineitem
+    """,
+)
+def a3_detail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A3 (pre-visacion.service.js:576-583): global detail stats —
+    COUNT / AVG / SUM(CASE) / conditional COUNT in one pass (map-side
+    partial aggregation, single-row result)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_items"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_qty"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_finished"),
+    )
+
+
+@query(
+    "j1_exact_shortcircuit",
+    """
+    SELECT u.user_id,
+           CASE WHEN d.c_custkey IS NOT NULL THEN 'exact' ELSE 'fuzzy' END AS match_method,
+           CAST(CASE WHEN d.c_custkey IS NOT NULL THEN 1.0 ELSE 0.75 END AS DOUBLE) AS similitud,
+           d.c_name AS matched_name
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') d
+      ON u.user_id = d.c_custkey
+    ORDER BY u.user_id
+    """,
+)
+def j1_exact_shortcircuit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J1/J2 (matching.service.js:91-120,193-232): exact-key lookup
+    short-circuit — broadcast left equi-join against the dimension subset,
+    similarity pinned 1.0 on a hit, misses diverted to the fuzzy path
+    (cheapest-access-path-first, SURVEY §4)."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    u = e.select("user_id").distinct()
+    hit = F.col("c_custkey").isNotNull()
+    return (
+        u.join(F.broadcast(dim), u.user_id == dim.c_custkey, "left")
+        .select(
+            "user_id",
+            F.when(hit, "exact").otherwise("fuzzy").alias("match_method"),
+            F.when(hit, 1.0).otherwise(0.75).cast("double").alias("similitud"),
+            F.col("c_name").alias("matched_name"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "t8_training_sample_limit",
+    """
+    SELECT event_id, ts, user_id, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 500
+    """,
+)
+def t8_training_sample_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T8 (auto-training.service.js:180-182): newest-500 sample under
+    a total order (unique event_id tie-break -> N/4N determinism)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(500)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "f3_digit_strip",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '[^0-9]', '', 'g') AS digits,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f3_digit_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F3 (validation.service.js:57-71): keep-digits-only
+    normalization (matricula/CI cleanup) as a pure JVM expression."""
+    d = _t(spark, sf_dir, "documents")
+    digits = F.regexp_replace("text", "[^0-9]", "")
+    return d.select(
+        "doc_id", digits.alias("digits"), F.length(digits).alias("n_digits")
+    ).orderBy("doc_id")
+
+
 @query("lsh_ann_topk")
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate top-k for the vec_id=0 query (rows-only; the
@@ -1026,6 +1125,21 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).first()["embedding"]
     return lsh_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_planes=6)
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k for the vec_id=0 query (rows-only:
+    approximate by design; ann_cosine_topk is the exact oracle-checked
+    baseline). Deterministic coarse quantizer — the scale path where the
+    probe filter becomes partition pruning on the assigned table."""
+    from ..operators.similarity_search import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_topk(
+        e.filter(F.col("vec_id") != 0), list(q), k=10, n_list=8, n_probe=4, n_iters=2
+    )
 
 
 @query("doc_fingerprints")

@@ -105,6 +105,38 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert out["cos_sim"].between(-1.0, 1.0).all()
 
 
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """Probing every inverted list must reproduce the brute-force top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = similarity_search.brute_force_topk(rest, list(q), k=10).toPandas()
+    ivf = similarity_search.ivf_topk(
+        rest, list(q), k=10, n_list=8, n_probe=8, n_iters=1
+    ).toPandas()
+    assert list(ivf["vec_id"]) == list(exact["vec_id"])
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = set(
+        similarity_search.brute_force_topk(rest, list(q), k=10).toPandas()["vec_id"]
+    )
+    runs = [
+        similarity_search.ivf_topk(
+            rest, list(q), k=10, n_list=8, n_probe=4, n_iters=2
+        ).toPandas()
+        for _ in range(2)
+    ]
+    # deterministic across runs (seed-free md5 init + fixed Lloyd iterations)
+    assert list(runs[0]["vec_id"]) == list(runs[1]["vec_id"])
+    # probing the 4 nearest of 8 lists keeps most true neighbors
+    recall = len(set(runs[0]["vec_id"]) & exact) / 10
+    assert recall >= 0.6, recall
+
+
 def test_cosine_near_pairs_self_duplicates(spark):
     rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
             (3, [0.99, 0.14, 0.0, 0.0]), (4, [0.0, 1.0, 0.0, 0.0])]
