@@ -36,10 +36,12 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output root (results + _lineage)")
     ap.add_argument("--salted", action="store_true", help="two-phase salted reassembly")
     ap.add_argument(
-        "--broadcast-media",
-        action="store_true",
-        help="broadcast the media table (fits-in-memory media; skips the "
-        "media-side shuffle — see extract.clean_spans)",
+        "--media-strategy",
+        choices=["join", "broadcast", "denormalized"],
+        default="join",
+        help="media_ref resolution strategy (see extract.clean_spans; "
+        "'denormalized' requires owner keys in the media table and a "
+        "full-corpus run)",
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -64,7 +66,9 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     media = spark.read.parquet(args.media)
     ck = CheckpointedExtraction(args.output)
-    metrics = ck.run(docs, media, broadcast_media=args.broadcast_media)
+    metrics = ck.run(
+        docs, media, media_strategy=args.media_strategy, salted=args.salted
+    )
     print(json.dumps(metrics, default=str))
     spark.stop()
 

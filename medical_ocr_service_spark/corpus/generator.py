@@ -297,6 +297,13 @@ def synthesize_corpus(
                         "layout_json": json.dumps(layout, sort_keys=True),
                         "width": layout["w"],
                         "height": layout["h"],
+                        # denormalized owner keys (doc_id, offset): written to
+                        # the sidecar at ingest so the extraction plan can
+                        # union media rows straight into the span stream
+                        # (extract.clean_spans media_strategy="denormalized")
+                        # instead of joining on media_ref — one shuffle total.
+                        "doc_id": doc_id,
+                        "offset": offset,
                     }
                 )
                 spans.append(

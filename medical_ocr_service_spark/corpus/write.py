@@ -3,7 +3,7 @@
 Writes (pyarrow; no Spark needed so pytest fixtures are fast):
 
     <out>/documents_interleaved.parquet   doc_id, spans list<struct<kind,text,media_ref,offset>>
-    <out>/media.parquet                   media_ref, layout_json, width, height
+    <out>/media.parquet                   media_ref, layout_json, width, height, doc_id, offset
     <out>/prestadores.parquet / nomencladores.parquet / acuerdos_prestador.parquet
     <out>/golden_spans.parquet            doc_id, kind, text, media_ref, order   (exploded)
     <out>/golden_fields.parquet           per-doc extracted fields + confidence
@@ -72,6 +72,9 @@ def write_corpus(
                 ("layout_json", pa.string()),
                 ("width", pa.int32()),
                 ("height", pa.int32()),
+                # denormalized owner keys — see generator.synthesize_corpus
+                ("doc_id", pa.string()),
+                ("offset", pa.int32()),
             ]
         ),
     )

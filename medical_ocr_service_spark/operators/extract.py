@@ -12,10 +12,13 @@ for media spans.
 
 Scale design (10^12 docs / 100 TB):
   * explode(spans) is narrow — no shuffle;
-  * text spans never touch the media join: the plan splits by kind, joins only
-    the media subset on media_ref (both sides hash-partitioned on the key;
-    production tables are bucketed by media_ref so this is shuffle-free),
-    then unions back — a 25% media fraction means 75% of rows skip the join;
+  * text spans never touch media resolution: the plan splits by kind and only
+    the media subset resolves payloads, via one of three strategies
+    (clean_spans media_strategy): media_ref join with both tables bucketed by
+    media_ref (shuffle-free at scale), broadcast hash join for
+    fits-in-memory media, or the denormalized union (media sidecar carries
+    (doc_id, offset) owner keys -> zero joins, groupBy(doc_id) is the plan's
+    only exchange);
   * span ordering uses a window over (doc_id, offset). Spans-per-doc is
     bounded (10^3 pathological), so per-key state is tiny; AQE skew-join
     handles stragglers. Reassembly to arrays uses
@@ -51,17 +54,29 @@ def exploded_spans(docs: DataFrame) -> DataFrame:
 
 
 def clean_spans(
-    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+    docs: DataFrame, media: DataFrame, media_strategy: str = "join"
 ) -> DataFrame:
     """Per-span cleaned text: boilerplate-strip for text, XY-cut for media.
 
     Returns (doc_id, kind, text, media_ref, offset) with text cleaned.
 
-    ``broadcast_media=True`` turns the media lookup into a broadcast hash
-    join — zero exchanges on the span side. Right when the media table fits
-    executor memory (benches, per-tenant slices). At 10^12-doc scale the
-    media table is itself huge: leave False and bucket BOTH tables by
-    media_ref so the sort-merge join is co-located and shuffle-free.
+    ``media_strategy`` picks how media_ref payloads are resolved:
+
+    * ``"join"`` (default, always correct): sort-merge/shuffle join of the
+      media spans against the media table on media_ref. At 10^12-doc scale
+      both tables are bucketed by media_ref so this is co-located and
+      shuffle-free.
+    * ``"broadcast"``: broadcast hash join — zero exchanges on the span side,
+      but pays a serial driver-side hash-relation build per action. Right
+      when the media table fits executor memory and the job is long.
+    * ``"denormalized"``: NO join at all. Requires the media sidecar to carry
+      the owner keys ``(doc_id, offset)`` (written at ingest — see
+      corpus.generator) and to contain EXACTLY the media spans of ``docs``
+      (full-corpus runs; do not use under a pending-docs filter such as
+      checkpoint resume unless the media side is filtered identically).
+      Media rows are layout-parsed straight off their scan and unioned into
+      the span stream; the groupBy(doc_id) exchange is the plan's ONLY
+      shuffle and there is no broadcast build.
     """
     spans = exploded_spans(docs)
 
@@ -69,23 +84,38 @@ def clean_spans(
         "text", strip_boilerplate_udf(F.col("text"))
     )
 
-    media_dim = media.select("media_ref", "layout_json")
-    if broadcast_media:
-        media_dim = F.broadcast(media_dim)
-    media_part = (
-        spans.filter(F.col("kind") == "media")
-        .drop("text")
-        # 1:1 join; media_ref is unique on both sides.
-        .join(media_dim, "media_ref", "left")
-        .withColumn("text", layout_text_udf(F.col("layout_json")))
-        .drop("layout_json")
-    )
+    if media_strategy == "denormalized":
+        missing = {"doc_id", "offset"} - set(media.columns)
+        if missing:
+            raise ValueError(
+                f"media_strategy='denormalized' needs owner keys in the media "
+                f"table; missing columns: {sorted(missing)}"
+            )
+        media_part = media.select(
+            "doc_id",
+            F.lit("media").alias("kind"),
+            layout_text_udf(F.col("layout_json")).alias("text"),
+            "media_ref",
+            F.col("offset").cast("int").alias("offset"),
+        )
+    else:
+        media_dim = media.select("media_ref", "layout_json")
+        if media_strategy == "broadcast":
+            media_dim = F.broadcast(media_dim)
+        media_part = (
+            spans.filter(F.col("kind") == "media")
+            .drop("text")
+            # 1:1 join; media_ref is unique on both sides.
+            .join(media_dim, "media_ref", "left")
+            .withColumn("text", layout_text_udf(F.col("layout_json")))
+            .drop("layout_json")
+        )
 
     return text_part.select(*SPAN_COLS).unionByName(media_part.select(*SPAN_COLS))
 
 
 def ordered_spans(
-    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+    docs: DataFrame, media: DataFrame, media_strategy: str = "join"
 ) -> DataFrame:
     """The span-sequence table: (doc_id, kind, text, media_ref, order).
 
@@ -94,14 +124,14 @@ def ordered_spans(
     """
     w = Window.partitionBy("doc_id").orderBy("offset")
     return (
-        clean_spans(docs, media, broadcast_media)
+        clean_spans(docs, media, media_strategy)
         .withColumn("order", F.row_number().over(w).cast("int"))
         .drop("offset")
     )
 
 
 def reassembled_docs(
-    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+    docs: DataFrame, media: DataFrame, media_strategy: str = "join"
 ) -> DataFrame:
     """One row per doc: ordered span array + full_text.
 
@@ -109,7 +139,7 @@ def reassembled_docs(
     sort_array on a struct with `order` leading — explicitly NOT relying on
     collect_list/shuffle order (SURVEY.md §7 hard parts).
     """
-    cleaned = clean_spans(docs, media, broadcast_media)
+    cleaned = clean_spans(docs, media, media_strategy)
     agg = cleaned.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -137,17 +167,29 @@ def reassembled_docs(
 
 
 def extract_documents(
-    docs: DataFrame, media: DataFrame, broadcast_media: bool = False
+    docs: DataFrame,
+    media: DataFrame,
+    media_strategy: str = "join",
+    salted: bool = False,
 ) -> DataFrame:
     """Full extraction: reassembled spans + structured fields + confidence.
 
     Output: doc_id, spans, full_text, fields.* (struct columns), plus
     requiere_revision (= confianza_extraccion < REVIEW_THRESHOLD,
     reference pre-visacion.service.js:55).
+
+    ``salted=True`` swaps in the two-phase salted reassembly
+    (reassembled_docs_salted) for corpora with pathological many-span docs;
+    ``media_strategy`` as in clean_spans.
     """
     from .. import config
 
-    assembled = reassembled_docs(docs, media, broadcast_media)
+    if salted:
+        assembled = reassembled_docs_salted(
+            docs, media, media_strategy=media_strategy
+        )
+    else:
+        assembled = reassembled_docs(docs, media, media_strategy)
     with_fields = assembled.withColumn("fields", extract_fields_udf(F.col("full_text")))
     return with_fields.withColumn(
         "requiere_revision",
@@ -157,7 +199,7 @@ def extract_documents(
 
 def reassembled_docs_salted(
     docs: DataFrame, media: DataFrame, n_salts: int = 16,
-    broadcast_media: bool = False,
+    media_strategy: str = "join",
 ) -> DataFrame:
     """Skew-mitigated two-phase reassembly for pathological many-span docs
     (north_rule salted-key mitigation; SURVEY §7 hard parts).
@@ -170,7 +212,7 @@ def reassembled_docs_salted(
     Ordering is preserved because BOTH phases sort on offset (structs with
     offset leading), never on arrival order. Output schema == reassembled_docs.
     """
-    cleaned = clean_spans(docs, media, broadcast_media)
+    cleaned = clean_spans(docs, media, media_strategy)
 
     phase1 = (
         cleaned.withColumn("_salt", F.pmod(F.hash("offset"), F.lit(n_salts)))

@@ -60,17 +60,22 @@ class CheckpointedExtraction:
         docs: DataFrame,
         media: DataFrame,
         fail_on: str | None = None,
-        broadcast_media: bool = False,
+        media_strategy: str = "join",
+        salted: bool = False,
     ) -> dict:
         """Process pending docs, append results, write lineage. Returns the
         lineage record. `fail_on` (doc_id) injects a mid-run failure for
-        crash-recovery tests. ``broadcast_media`` as in
-        extract.clean_spans."""
+        crash-recovery tests. ``media_strategy`` as in extract.clean_spans
+        (NOTE: "denormalized" is unsafe under resume — the pending filter
+        applies to docs only; use "join"/"broadcast" here unless the media
+        side is filtered identically)."""
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
         pending = self.pending(docs)
 
-        result = extract.extract_documents(pending, media, broadcast_media)
+        result = extract.extract_documents(
+            pending, media, media_strategy=media_strategy, salted=salted
+        )
         if fail_on is not None:
             # deterministic poison row -> task failure after partial work
             result = result.withColumn(

@@ -148,3 +148,34 @@ def test_salted_reassembly_equals_plain(spark, loaded):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_extract_documents_salted_flag_equal(spark, loaded):
+    """extract_documents(salted=True) — the path behind run_extraction
+    --salted — yields the same rows as the default path."""
+    docs, media, _, _ = loaded
+    cols = ["doc_id", "spans", "full_text", "fields", "requiere_revision"]
+    plain = extract.extract_documents(docs, media).select(cols)
+    salted = extract.extract_documents(docs, media, salted=True).select(cols)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "denormalized"])
+def test_media_strategies_equal_join(spark, loaded, strategy):
+    """Every media_ref resolution strategy yields the identical span
+    sequence (the denormalized path needs the v3 sidecar's owner keys)."""
+    docs, media, _, _ = loaded
+    cols = ["doc_id", "spans", "full_text"]
+    join_mode = extract.reassembled_docs(docs, media, "join").select(cols)
+    other = extract.reassembled_docs(docs, media, strategy).select(cols)
+    assert join_mode.exceptAll(other).count() == 0
+    assert other.exceptAll(join_mode).count() == 0
+
+
+def test_denormalized_requires_owner_keys(spark, loaded):
+    docs, media, _, _ = loaded
+    with pytest.raises(ValueError, match="owner keys"):
+        extract.clean_spans(
+            docs, media.drop("doc_id", "offset"), "denormalized"
+        )
