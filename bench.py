@@ -220,6 +220,38 @@ def _extract_worker(master_cores: int, docs_path: str, media_path: str) -> dict:
         spark.stop()
 
 
+def _run_previsacion(docs_path: str, media_path: str) -> dict:
+    """Time the COMPLETE reference-equivalent pipeline (extraction +
+    provider cascade + practice top-k matching + agreement pick-best ->
+    pre-visacion headers) over the bench corpus at full parallelism."""
+    from medical_ocr_service_spark.corpus import generator
+    from medical_ocr_service_spark.plans import previsacion
+    from medical_ocr_service_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-previsacion",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=3 * CPUS,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": "3m",
+        },
+    )
+    try:
+        docs = spark.read.parquet(docs_path)
+        media = spark.read.parquet(media_path)
+        prest, nom, ac = generator.dims_dataframes(spark)
+        header, _detail = previsacion.run_previsacion(docs, media, prest, nom, ac)
+        header.write.format("noop").mode("overwrite").save()  # warm
+        n = docs.count()
+        t0 = time.perf_counter()
+        header.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        return {"docs": n, "sec": round(dt, 3), "docs_per_sec": round(n / dt, 2)}
+    finally:
+        spark.stop()
+
+
 def _run_headline(sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
     from medical_ocr_service_spark.session import get_spark
@@ -274,6 +306,11 @@ def main() -> None:
         print(json.dumps(result))
         return
     result["extraction"] = extraction
+
+    try:
+        result["previsacion"] = _run_previsacion(docs_path, media_path)
+    except Exception as exc:
+        result["previsacion"] = {"error": repr(exc)}
 
     print(json.dumps(result))
 

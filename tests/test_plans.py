@@ -106,6 +106,20 @@ def test_extraction_has_single_doc_shuffle(spark, corpus_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_denormalized_extraction_single_exchange_no_joins(spark, corpus_dir):
+    """media_strategy='denormalized' must compile to exactly ONE exchange
+    (the groupBy(doc_id) reassembly) and ZERO joins — the property that
+    removed the broadcast build's serial driver cost (BENCH/BASELINE.md)."""
+    from medical_ocr_service_spark.operators import extract
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    plan = _plan(extract.extract_documents(docs, media, media_strategy="denormalized"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_topk_matching_broadcasts_agreements(spark, corpus_dir):
     from medical_ocr_service_spark.corpus import generator
     from medical_ocr_service_spark.operators import matching
