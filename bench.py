@@ -241,11 +241,24 @@ def _run_previsacion(docs_path: str, media_path: str) -> dict:
         docs = spark.read.parquet(docs_path)
         media = spark.read.parquet(media_path)
         prest, nom, ac = generator.dims_dataframes(spark)
-        header, _detail = previsacion.run_previsacion(docs, media, prest, nom, ac)
-        header.write.format("noop").mode("overwrite").save()  # warm
+        # warm-up on a subset (Python workers + codegen), separate plan so
+        # its cache does not leak into the timed run
+        wh, wd = previsacion.run_previsacion(
+            docs.limit(max(2000, N_DOCS // 10)), media, prest, nom, ac,
+            media_strategy="broadcast",
+        )
+        wh.write.format("noop").mode("overwrite").save()
+        wd.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # drop the warm-up plan's intermediate
         n = docs.count()
+        # timed: cold plan, BOTH output tables (header + detail), including
+        # the shared-intermediate cache build — the honest end-to-end number
+        header, detail = previsacion.run_previsacion(
+            docs, media, prest, nom, ac, media_strategy="denormalized"
+        )
         t0 = time.perf_counter()
         header.write.format("noop").mode("overwrite").save()
+        detail.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         return {"docs": n, "sec": round(dt, 3), "docs_per_sec": round(n / dt, 2)}
     finally:

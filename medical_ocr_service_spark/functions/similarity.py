@@ -14,6 +14,7 @@ pipeline around them (top-k, joins, pick-best), not the scalar arithmetic.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import unicodedata
@@ -52,7 +53,10 @@ def trigram_similarity(a: str | None, b: str | None) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+@functools.lru_cache(maxsize=1 << 17)
 def _gram_index_sign(gram: str) -> tuple[int, float]:
+    # memoized: pure function of the gram (md5 is deterministic), and the
+    # gram vocabulary of a corpus is tiny relative to the call count
     h = int.from_bytes(hashlib.md5(gram.encode("utf-8")).digest()[:8], "big")
     idx = h % config.EMBEDDING_DIM
     sign = 1.0 if (h >> 32) & 1 else -1.0
@@ -81,6 +85,17 @@ def embed_text(s: str | None, dim: int = config.EMBEDDING_DIM) -> list[float]:
 
 def embed_matrix(texts: list[str | None], dim: int = config.EMBEDDING_DIM) -> np.ndarray:
     return np.array([embed_text(t, dim) for t in texts], dtype=np.float64)
+
+
+def round_half_up(x: float | None, nd: int) -> float | None:
+    """Match Spark's F.round on doubles (HALF_UP over the shortest decimal
+    repr; java BigDecimal.valueOf == Python repr for doubles). Python's
+    built-in round is banker's rounding — NOT equivalent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None:
+        return None
+    return float(Decimal(repr(float(x))).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
 
 
 def cosine(a: list[float], b: list[float]) -> float:

@@ -92,17 +92,15 @@ CANDIDATE_TYPE = T.ArrayType(
 )
 
 
-def make_topk_udf(
+def make_topk_scorer(
     ids: list[int],
     descs: list[str],
     embed_texts: list[str],
     k: int,
     min_sim: float = config.MIN_SIMILARITY_NOM,
 ):
-    """Build a pandas UDF scoring queries against a fixed candidate matrix.
+    """Batch scorer against a fixed candidate matrix (closure 'broadcast').
 
-    The matrix lives in the UDF closure — Spark serializes it once per task
-    (equivalent of a broadcast variable; dims are small by contract).
     Semantics (matching.service.js:32-66): vector top-k with floor min_sim and
     id tie-break, then re-rank by 0.7*sim_vec + 0.3*sim_trgm (id tie-break).
     """
@@ -112,49 +110,73 @@ def make_topk_udf(
     trigram_sets = [sim.char_trigrams(d or "") for d in descs]
     ids_arr = np.array(ids, dtype=np.int64)
 
-    @F.pandas_udf(CANDIDATE_TYPE)
-    def topk_udf(queries: pd.Series) -> pd.Series:
+    def _score_one(q):
+        if q is None or len(ids_arr) == 0:
+            return []
+        qv = np.asarray(sim.embed_text(q), dtype=np.float64)
+        sims = M @ qv  # rows normalized -> cosine
+        mask = sims >= min_sim
+        idxs = np.nonzero(mask)[0]
+        if idxs.size == 0:
+            return []
+        # vector top-k, tie-break by id ascending
+        order = idxs[np.lexsort((ids_arr[idxs], -sims[idxs]))][:k]
+        qgrams = sim.char_trigrams(q)
+        cands = []
+        for j in order:
+            sj = trigram_sets[j]
+            inter = len(qgrams & sj)
+            trgm = (
+                inter / (len(qgrams) + len(sj) - inter)
+                if qgrams and sj
+                else 0.0
+            )
+            sv = float(sims[j])
+            cands.append(
+                {
+                    "id": int(ids_arr[j]),
+                    "descripcion": descs[j],
+                    "sim_vec": sv,
+                    "sim_trgm": trgm,
+                    "similitud": round(
+                        config.VEC_WEIGHT * sv + config.TRGM_WEIGHT * trgm, 4
+                    ),
+                }
+            )
+        cands.sort(key=lambda c: (-c["similitud"], c["id"]))
+        for r, c in enumerate(cands):
+            c["rank"] = r + 1
+        return cands
+
+    def score_series(queries) -> list:
+        """Score a batch with per-unique-query memoization: practice
+        descriptions repeat heavily, so each distinct text is scored once
+        per Arrow batch (pure function -> identical results)."""
+        cache: dict = {}
         out = []
         for q in queries:
-            if q is None or len(ids_arr) == 0:
-                out.append([])
-                continue
-            qv = np.asarray(sim.embed_text(q), dtype=np.float64)
-            sims = M @ qv  # rows normalized -> cosine
-            mask = sims >= min_sim
-            idxs = np.nonzero(mask)[0]
-            if idxs.size == 0:
-                out.append([])
-                continue
-            # vector top-k, tie-break by id ascending
-            order = idxs[np.lexsort((ids_arr[idxs], -sims[idxs]))][:k]
-            qgrams = sim.char_trigrams(q)
-            cands = []
-            for j in order:
-                sj = trigram_sets[j]
-                inter = len(qgrams & sj)
-                trgm = (
-                    inter / (len(qgrams) + len(sj) - inter)
-                    if qgrams and sj
-                    else 0.0
-                )
-                sv = float(sims[j])
-                cands.append(
-                    {
-                        "id": int(ids_arr[j]),
-                        "descripcion": descs[j],
-                        "sim_vec": sv,
-                        "sim_trgm": trgm,
-                        "similitud": round(
-                            config.VEC_WEIGHT * sv + config.TRGM_WEIGHT * trgm, 4
-                        ),
-                    }
-                )
-            cands.sort(key=lambda c: (-c["similitud"], c["id"]))
-            for r, c in enumerate(cands):
-                c["rank"] = r + 1
-            out.append(cands)
-        return pd.Series(out, dtype=object)
+            if q not in cache:
+                cache[q] = _score_one(q)
+            out.append(cache[q])
+        return out
+
+    return score_series
+
+
+def make_topk_udf(
+    ids: list[int],
+    descs: list[str],
+    embed_texts: list[str],
+    k: int,
+    min_sim: float = config.MIN_SIMILARITY_NOM,
+):
+    """Pandas UDF over make_topk_scorer (the matrix ships in the closure —
+    the broadcast-dimension pattern; dims are small by contract)."""
+    score_series = make_topk_scorer(ids, descs, embed_texts, k, min_sim)
+
+    @F.pandas_udf(CANDIDATE_TYPE)
+    def topk_udf(queries: pd.Series) -> pd.Series:
+        return pd.Series(score_series(queries), dtype=object)
 
     return topk_udf
 
@@ -403,4 +425,130 @@ def match_practices(
         F.coalesce(
             "matches_alternativos", F.lit([]).cast(ALTERNATIVE_TYPE)
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused practice matching (same semantics, one UDF, zero extra shuffles)
+# ---------------------------------------------------------------------------
+
+PRACTICE_MATCH_TYPE = T.StructType(
+    [
+        T.StructField("nomenclador_id_sugerido", T.IntegerType()),
+        T.StructField("nomenclador_descripcion", T.StringType()),
+        T.StructField("similitud", T.DoubleType()),
+        T.StructField("nomenclador_confianza", T.DoubleType()),
+        T.StructField("tiene_acuerdo", T.BooleanType()),
+        T.StructField("id_acuerdo", T.IntegerType()),
+        T.StructField("precio_acuerdo", T.DoubleType()),
+        T.StructField("alerta", T.StringType()),
+        T.StructField("matches_alternativos", ALTERNATIVE_TYPE),
+    ]
+)
+
+
+def match_practices_fast(
+    practices: DataFrame,
+    nom_embedded: DataFrame,
+    acuerdos: DataFrame,
+) -> DataFrame:
+    """Semantics-identical fast path for match_practices (pytest asserts
+    row equality between the two).
+
+    The join-based path explodes every practice into its k candidates and
+    runs a broadcast join plus two (doc_id, item) windows over ~k× the rows —
+    three extra shuffles of candidate-struct payloads. Here BOTH dimension
+    sides (nomenclador matrix AND the latest-vigente agreements map) ship in
+    the UDF closure — the same broadcast-dimension pattern make_topk_udf
+    already uses — so candidate scoring, the agreement-preference pick-best
+    (matching.service.js:378-392) and the alternatives slice happen in one
+    vectorized pass. The plan stays whatever the upstream plan was: no new
+    exchange at all. Use when the agreements table fits executor memory
+    (dims are small by contract, SURVEY §4); fall back to match_practices
+    for giant agreement tables."""
+    ids, descs, etexts = _collect_nomenclador_space(nom_embedded)
+    score_series = make_topk_scorer(ids, descs, etexts, k=config.TOPK_NOMENCLADOR)
+
+    ag_rows = (
+        latest_agreements(acuerdos)
+        .select(
+            "id_nomenclador", "prest_id_prestador", "plan_id_plan",
+            "id_acuerdo", "precio",
+        )
+        .collect()
+    )
+    AG = {
+        (r["id_nomenclador"], r["prest_id_prestador"], r["plan_id_plan"]): (
+            r["id_acuerdo"],
+            r["precio"],
+        )
+        for r in ag_rows
+    }
+
+    @F.pandas_udf(PRACTICE_MATCH_TYPE)
+    def match_udf(
+        descripcion: pd.Series, prestador_id: pd.Series, plan_id: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        cand_lists = score_series(descripcion)
+        for cands, prest, plan in zip(
+            cand_lists, prestador_id, plan_id, strict=True
+        ):
+            if not cands:
+                rows.append(
+                    {
+                        "nomenclador_id_sugerido": None,
+                        "nomenclador_descripcion": None,
+                        "similitud": None,
+                        "nomenclador_confianza": None,
+                        "tiene_acuerdo": False,
+                        "id_acuerdo": None,
+                        "precio_acuerdo": None,
+                        "alerta": "SIN_MATCH",
+                        "matches_alternativos": [],
+                    }
+                )
+                continue
+            prest_i = None if pd.isna(prest) else int(prest)
+            plan_i = None if pd.isna(plan) else int(plan)
+            ag_hits = [
+                AG.get((c["id"], prest_i, plan_i)) for c in cands
+            ]
+            # preference pick-best: min rank among agreement-holders, else 1
+            best_idx = next(
+                (i for i, h in enumerate(ag_hits) if h is not None), 0
+            )
+            best, hit = cands[best_idx], ag_hits[best_idx]
+            alts = [
+                {
+                    "id_nomenclador": c["id"],
+                    "descripcion": c["descripcion"],
+                    "similitud": c["similitud"],
+                    "tiene_acuerdo": ag_hits[i] is not None,
+                }
+                for i, c in enumerate(cands)
+                if i != best_idx
+            ][: config.N_ALTERNATIVES]
+            rows.append(
+                {
+                    "nomenclador_id_sugerido": best["id"],
+                    "nomenclador_descripcion": best["descripcion"],
+                    "similitud": best["similitud"],
+                    "nomenclador_confianza": sim.round_half_up(best["similitud"], 2),
+                    "tiene_acuerdo": hit is not None,
+                    "id_acuerdo": None if hit is None else hit[0],
+                    "precio_acuerdo": None if hit is None else hit[1],
+                    "alerta": None if hit is not None else "SIN_ACUERDO",
+                    "matches_alternativos": alts,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = practices.withColumn(
+        "_m",
+        match_udf(F.col("descripcion"), F.col("prestador_id"), F.col("plan_id_plan")),
+    )
+    return out.select(
+        "doc_id", "item", "descripcion", "cantidad", "confianza",
+        "prestador_id", "plan_id_plan", "_m.*",
     )

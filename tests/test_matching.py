@@ -138,3 +138,57 @@ def test_pick_best_prefers_agreement(spark_previsacion):
     # alerta set exactly when no agreement
     no_ag = det[~det["tiene_acuerdo"] & det["nomenclador_id_sugerido"].notna()]
     assert (no_ag["alerta"] == "SIN_ACUERDO").all()
+
+
+def test_match_practices_fast_equals_join_path(spark, corpus_dir):
+    """The fused closure-side matcher (match_practices_fast) returns row-for-
+    row identical results to the explode + broadcast-join + window path."""
+    from medical_ocr_service_spark.operators import extract, matching
+    from medical_ocr_service_spark.plans.previsacion import plan_id_col
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    prest = spark.read.parquet(f"{corpus_dir}/prestadores.parquet")
+    nom = spark.read.parquet(f"{corpus_dir}/nomencladores.parquet")
+    ac = spark.read.parquet(f"{corpus_dir}/acuerdos_prestador.parquet")
+
+    prest_e = matching.embed_prestadores(prest)
+    nom_e = matching.embed_nomencladores(nom)
+    extracted = extract.extract_documents(docs, media)
+    doc_fields = extracted.select(
+        "doc_id",
+        F.col("fields.ruc").alias("ruc"),
+        F.col("fields.prestador_nombre").alias("prestador_nombre"),
+        F.col("fields.medico_matricula").alias("medico_matricula"),
+        F.col("fields.matricula_valida").alias("matricula_valida"),
+        F.col("fields.practicas").alias("practicas"),
+        plan_id_col(),
+    )
+    with_prest = matching.match_prestador(doc_fields, prest_e)
+    practices = with_prest.select(
+        "doc_id", "prestador_id", "plan_id_plan", F.explode("practicas").alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.item").alias("item"),
+        F.col("p.descripcion").alias("descripcion"),
+        F.col("p.cantidad").alias("cantidad"),
+        F.col("p.confianza").alias("confianza"),
+        "prestador_id",
+        "plan_id_plan",
+    )
+
+    a = matching.match_practices(practices, nom_e, ac).toPandas()
+    b = matching.match_practices_fast(practices, nom_e, ac).toPandas()
+    keys = ["doc_id", "item"]
+    a = a.sort_values(keys, ignore_index=True)
+    b = b.sort_values(keys, ignore_index=True)
+    # alternatives compared field-by-field (list-of-Row vs list-of-dict)
+    alt_a = a.pop("matches_alternativos").map(
+        lambda xs: [tuple(x) for x in xs]
+    )
+    alt_b = b.pop("matches_alternativos").map(
+        lambda xs: [tuple(x) for x in xs]
+    )
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (alt_a == alt_b).all()
