@@ -10,10 +10,13 @@ Prints ONE JSON line:
    ...}
 
 Env:
-  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     high parallelism level "4N" (default 32; N = cpus/4)
-  SPARK_GRAFT_BENCH_SCALING  "0" to skip the low-parallelism run
-  SPARK_GRAFT_BENCH_DOCS     extraction corpus size (default 4000)
+  SPARK_GRAFT_SF_DIR         input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS           full-parallelism level (default 32)
+  SPARK_GRAFT_BENCH_N        scaling pair base N (default 4; pair = N -> 4N)
+  SPARK_GRAFT_BENCH_SCALING  "0" to skip the scaling pairs
+  SPARK_GRAFT_BENCH_DOCS     extraction corpus size (default 300000)
+  SPARK_GRAFT_BENCH_REPS     pairs count (default 3)
+  SPARK_GRAFT_BENCH_BUDGET_S soft wall budget, stop adding pairs (default 1200)
 """
 
 from __future__ import annotations
