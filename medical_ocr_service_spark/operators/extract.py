@@ -119,8 +119,10 @@ def ordered_spans(
 ) -> DataFrame:
     """The span-sequence table: (doc_id, kind, text, media_ref, order).
 
-    order = 1-based rank of offset within the document (offsets are unique
-    per doc by construction; ties would break deterministically by offset).
+    order = 1-based rank of offset within the document. Offsets are unique
+    per document — the input contract (duplicate offsets would tie-break by
+    the remaining struct fields in reassembled_docs but by arrival order
+    here; don't feed malformed docs).
     """
     w = Window.partitionBy("doc_id").orderBy("offset")
     return (

@@ -1098,6 +1098,41 @@ def t8_training_sample_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f2_normalize_for_embedding",
+    """
+    SELECT doc_id,
+           substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 80) AS norm_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f2_normalize_for_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F2 (embedding.service.js:200-206): lower + trim + collapse
+    whitespace + truncate before embedding (pure JVM expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 80
+    )
+    return d.select("doc_id", norm.alias("norm_text")).orderBy("doc_id")
+
+
+@query(
+    "f7_full_name_concat",
+    """
+    SELECT c_custkey,
+           trim(concat_ws(' ', c_name, c_mktsegment)) AS etiqueta
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def f7_full_name_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F7 (pre-visacion.service.js:70): trim(concat_ws(' ', ...))."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.concat_ws(" ", "c_name", "c_mktsegment")).alias("etiqueta"),
+    ).orderBy("c_custkey")
+
+
+@query(
     "f3_digit_strip",
     """
     SELECT doc_id,
