@@ -45,9 +45,12 @@ def get_spark(
         # only bounds per-task memory.)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Small Arrow batches pipeline JVM<->Python transfer within a task
-        # (one giant batch per task serializes the phases; measured ~2x).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        # Mid-size Arrow batches: small enough to pipeline JVM<->Python
+        # transfer within a task (one giant batch serializes the phases),
+        # big enough to amortize per-batch pandas/Arrow overhead. Measured
+        # on the extraction pipeline at 16 cores: 4000 beats 1000 by ~17%
+        # and 10000 by ~9%.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
