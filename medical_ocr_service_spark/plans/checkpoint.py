@@ -65,12 +65,18 @@ class CheckpointedExtraction:
     ) -> dict:
         """Process pending docs, append results, write lineage. Returns the
         lineage record. `fail_on` (doc_id) injects a mid-run failure for
-        crash-recovery tests. ``media_strategy`` as in extract.clean_spans
-        (NOTE: "denormalized" is unsafe under resume — the pending filter
-        applies to docs only; use "join"/"broadcast" here unless the media
-        side is filtered identically)."""
+        crash-recovery tests. ``media_strategy`` as in extract.clean_spans;
+        "denormalized" is refused on a RESUME — the pending filter applies
+        to docs only, so unfiltered media rows would resurrect spans of
+        already-done documents."""
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
+        if media_strategy == "denormalized" and self.done_doc_ids(spark) is not None:
+            raise ValueError(
+                "media_strategy='denormalized' is unsafe when resuming from an "
+                "existing snapshot (media rows of already-done docs would "
+                "reappear); use 'join' or 'broadcast'"
+            )
         pending = self.pending(docs)
 
         result = extract.extract_documents(

@@ -116,3 +116,18 @@ def test_stream_stateful_dedup(spark, loaded, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 40  # cross-restart state drops re-delivered dups
     assert got2.select("content_hash").distinct().count() == 40
+
+
+def test_denormalized_refused_on_resume(spark, loaded, tmp_path):
+    """media_strategy='denormalized' must be refused once a snapshot exists
+    (unfiltered media rows would resurrect spans of already-done docs)."""
+    import pytest as _pytest
+
+    from medical_ocr_service_spark.plans.checkpoint import CheckpointedExtraction
+
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"))
+    # first run (full corpus): no snapshot yet -> denormalized allowed
+    ck.run(docs, media, media_strategy="denormalized")
+    with _pytest.raises(ValueError, match="denormalized"):
+        ck.run(docs, media, media_strategy="denormalized")
