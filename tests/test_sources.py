@@ -96,3 +96,64 @@ def test_binary_file_source(spark, tmp_path):
     df = readers.binary_file_source(spark, str(d))
     names = {os.path.basename(r["path"]) for r in df.select("path").collect()}
     assert names == {"ok.pdf", "ok.jpg"}
+
+
+def test_run_extraction_cli_end_to_end(spark, corpus_dir, tmp_path, monkeypatch):
+    """The spark-submit entry point (jobs/run_extraction.py) wires the CLI
+    flags through the checkpointed job and prints a lineage JSON line; a
+    rerun with the same --output resumes (0 pending)."""
+    import io
+    import json as _json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import run_extraction
+
+    # the CLI stops "its" session on exit — which is the shared pytest
+    # session (getOrCreate); neutralize stop() for the duration of the test
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    out = str(tmp_path / "cli_out")
+    argv = [
+        "run_extraction.py",
+        "--docs", f"{corpus_dir}/documents_interleaved.parquet",
+        "--media", f"{corpus_dir}/media.parquet",
+        "--output", out,
+        "--media-strategy", "broadcast",
+        "--salted",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_extraction.main()
+    rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rec["docs_processed"] == 300
+    assert rec["spans_emitted"] > 0
+
+    # resume: everything already processed
+    buf2 = io.StringIO()
+    monkeypatch.setattr(sys, "argv", argv)
+    with redirect_stdout(buf2):
+        run_extraction.main()
+    rec2 = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rec2["docs_processed"] == 0
+
+
+def test_package_zip_contains_modules(tmp_path):
+    import sys
+    import zipfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import package
+
+    zp = package.build(str(tmp_path))
+    names = zipfile.ZipFile(zp).namelist()
+    for mod in (
+        "medical_ocr_service_spark/operators/extract.py",
+        "medical_ocr_service_spark/plans/checkpoint.py",
+        "medical_ocr_service_spark/functions/extraction_udfs.py",
+    ):
+        assert mod in names
