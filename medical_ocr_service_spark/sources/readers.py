@@ -39,6 +39,30 @@ def read_csv_with_aliases(
     return df.withColumnsRenamed(renames)
 
 
+def read_excel_with_aliases(
+    spark: SparkSession, path: str, alias_map: dict[str, str]
+) -> DataFrame:
+    """S3/S4 xlsx half (data-ingest.routes.js:487-574; cargar_datos_excel.py):
+    read an Excel sheet via pandas, apply the same alias column map as the
+    CSV path, return a string-typed DataFrame.
+
+    Gated: xlsx engines (openpyxl) are not installed in this container, so
+    the call raises NotImplementedError with a clear message unless one is
+    available — the CSV path (read_csv_with_aliases) is the tested surface.
+    """
+    import pandas as _pd
+
+    try:
+        pdf = _pd.read_excel(path, dtype=str)
+    except ImportError as exc:  # no openpyxl/xlrd in this environment
+        raise NotImplementedError(
+            "Excel import needs an xlsx engine (openpyxl); not available in "
+            "this environment — convert to CSV and use read_csv_with_aliases"
+        ) from exc
+    pdf.columns = [alias_map.get(_norm_header(c), _norm_header(c)) for c in pdf.columns]
+    return spark.createDataFrame(pdf.where(_pd.notna(pdf), None))
+
+
 def split_valid_invalid(
     df: DataFrame, required: list[str], order_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:

@@ -157,3 +157,26 @@ def test_package_zip_contains_modules(tmp_path):
         "medical_ocr_service_spark/functions/extraction_udfs.py",
     ):
         assert mod in names
+
+
+def test_read_excel_gated(spark, tmp_path):
+    """xlsx import is cleanly gated when no Excel engine is installed (S3/S4
+    parity surface; CSV is the tested path in this container)."""
+    import pytest as _pytest
+
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", "<workbook/>")
+    p = str(tmp_path / "x.xlsx")
+    open(p, "wb").write(buf.getvalue())
+    try:
+        import openpyxl  # noqa: F401
+
+        _pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="xlsx engine"):
+        readers.read_excel_with_aliases(spark, p, {})
