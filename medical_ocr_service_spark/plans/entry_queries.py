@@ -98,7 +98,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey,
            COUNT(*) AS n_orders,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_totalprice,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
     FROM orders
     GROUP BY o_custkey
     ORDER BY n_orders DESC, o_custkey
@@ -173,8 +173,8 @@ def a4_queue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_batch_rollup",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
            COUNT(*) AS n_total
     FROM events GROUP BY user_id
     """,
@@ -1022,7 +1022,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COUNT(*) AS total_items,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished
     FROM lineitem
     """,

@@ -55,8 +55,22 @@ def test_query_matches_oracle(spark, ddb, sf_dir, name):
         n = q(spark, sf_dir).count()
         assert n >= 0
         return
-    ours = _canon(q(spark, sf_dir).toPandas())
-    ref = _canon(ddb.execute(oracles[name]).df())
+    ours_raw = q(spark, sf_dir).toPandas()
+    ref_raw = ddb.execute(oracles[name]).df()
+    # Dtype-kind parity BEFORE canonicalization: the driver hashes typed
+    # values, so e.g. DuckDB HUGEINT (SUM(CASE...) -> float64 in pandas) vs
+    # Spark BIGINT hash-mismatches even when values compare equal. Catch that
+    # class locally (int-width and datetime-unit differences stay allowed).
+    kinds_ours = {c: ours_raw[c].dtype.kind for c in ours_raw.columns}
+    kinds_ref = {c: ref_raw[c].dtype.kind for c in ref_raw.columns}
+    norm = {"u": "i"}
+    for c in set(kinds_ours) & set(kinds_ref):
+        a, b = norm.get(kinds_ours[c], kinds_ours[c]), norm.get(kinds_ref[c], kinds_ref[c])
+        if "O" in (a, b):  # object columns (strings/arrays/None-mixed) — skip
+            continue
+        assert a == b, f"{name}: column {c} dtype kind spark={a} oracle={b}"
+    ours = _canon(ours_raw)
+    ref = _canon(ref_raw)
     assert list(ours.columns) == list(ref.columns), (
         f"{name}: columns {list(ours.columns)} != {list(ref.columns)}"
     )
