@@ -937,16 +937,22 @@ def p_dynamic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH indexed AS (
       SELECT *, row_number() OVER (ORDER BY event_id) AS fila FROM events)
     SELECT fila, event_id FROM indexed
-    WHERE props IS NULL OR props = '' OR value IS NULL OR CAST(value AS VARCHAR) = ''
+    WHERE props IS NULL OR props = '' OR event_type IS NULL OR event_type = 'error'
     """,
 )
 def p7_row_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY P7 (data-ingest.routes.js:301-307): invalid rows -> error side
-    output with 1-based input index."""
+    output with 1-based input index. The generated testdata has no NULLs, so
+    a derived required column (NULLIF on the error event type) makes the gate
+    actually fire — a 0-row side output would be vacuous evidence."""
     from ..sources.readers import split_valid_invalid
 
-    e = _t(spark, sf_dir, "events")
-    _, errors = split_valid_invalid(e, ["props", "value"], order_col="event_id")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "event_type_req", F.nullif(F.col("event_type"), F.lit("error"))
+    )
+    _, errors = split_valid_invalid(
+        e, ["props", "event_type_req"], order_col="event_id"
+    )
     return errors.select("fila", "event_id")
 
 

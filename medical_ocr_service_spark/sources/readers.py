@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -59,8 +59,60 @@ def read_excel_with_aliases(
             "Excel import needs an xlsx engine (openpyxl); not available in "
             "this environment — convert to CSV and use read_csv_with_aliases"
         ) from exc
-    pdf.columns = [alias_map.get(_norm_header(c), _norm_header(c)) for c in pdf.columns]
-    return spark.createDataFrame(pdf.where(_pd.notna(pdf), None))
+    cols = [alias_map.get(_norm_header(c), _norm_header(c)) for c in pdf.columns]
+    dupes = sorted({c for c in cols if cols.count(c) > 1})
+    if dupes:
+        raise ValueError(
+            f"duplicate column names after alias normalization: {dupes}"
+        )
+    pdf.columns = cols
+    # Explicit all-string schema: schema inference fails on an empty sheet,
+    # and the reference's Excel path is stringly-typed anyway (S3/S4).
+    schema = ", ".join(f"`{c}` string" for c in cols) or "`_empty` string"
+    return spark.createDataFrame(
+        pdf.where(_pd.notna(pdf), None).astype(object), schema=schema
+    )
+
+
+def with_global_row_index(
+    df: DataFrame, col_name: str = "fila", order_col: str | None = None
+) -> DataFrame:
+    """1-based global row index WITHOUT a single-reducer global window.
+
+    A `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels every
+    row through one task — a scale-killer at 100 TB. Instead:
+
+    1. optionally `orderBy(order_col)` (range-partitioned sort, parallel;
+       range bounds come from fixed-seed reservoir sampling, so re-running
+       the lineage yields the same partitioning);
+    2. derive (partition, position) from `monotonically_increasing_id()`'s
+       documented bit layout — partition id in the upper 31 bits, per-
+       partition record position in the lower 33;
+    3. compute per-partition row counts with a tiny aggregate (one row per
+       partition), cumulative-sum them on the driver, and broadcast-join the
+       offsets back.
+
+    Two jobs over the input, zero wide shuffles of the data itself.
+    """
+    base = df.orderBy(order_col) if order_col is not None else df
+    mid = F.monotonically_increasing_id()
+    ids = base.withColumn("_pid", F.shiftright(mid, 33)).withColumn(
+        "_pos", mid.bitwiseAND((1 << 33) - 1)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ids.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = ids.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid long, _off long")
+    return (
+        ids.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(col_name, F.col("_off") + F.col("_pos") + 1)
+        .drop("_pid", "_pos", "_off")
+    )
 
 
 def split_valid_invalid(
@@ -68,8 +120,7 @@ def split_valid_invalid(
 ) -> tuple[DataFrame, DataFrame]:
     """(valid_rows, error_rows). Error rows carry `fila` (1-based input index,
     reference errores[] shape) and `error` naming the first missing field."""
-    w = Window.orderBy(F.monotonically_increasing_id() if order_col is None else order_col)
-    indexed = df.withColumn("fila", F.row_number().over(w))
+    indexed = with_global_row_index(df, "fila", order_col)
     cond = None
     first_missing = F.lit(None).cast("string")
     for r in reversed(required):

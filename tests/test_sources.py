@@ -29,9 +29,22 @@ def test_split_valid_invalid(spark):
     valid, errors = readers.split_valid_invalid(df, ["k", "v"], order_col="v")
     assert valid.count() == 2
     err = errors.toPandas().sort_values("fila")
-    assert list(err["fila"]) != []
+    # global 1-based index over v-ordering: ""->1, w->2, x->3, y->4
+    assert list(err["fila"]) == [1, 4]
     msgs = set(err["error"])
     assert any("k" in m for m in msgs) and any("v" in m for m in msgs)
+    # scale gate: no single-reducer exchange anywhere in the physical plan
+    plan = errors._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_global_row_index_no_order(spark):
+    df = spark.range(0, 1000, 1, 8).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    idx = readers.with_global_row_index(df)
+    rows = idx.toPandas()
+    assert sorted(rows["fila"]) == list(range(1, 1001))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
 
 
 def test_write_jsonl(spark, tmp_path):
