@@ -70,8 +70,8 @@ def _corpus_parquet(tmp: str) -> tuple[str, str]:
     """Materialize the interleaved bench corpus once (not timed)."""
     from medical_ocr_service_spark.corpus import write as cwrite
 
-    # v3: media sidecar carries denormalized owner keys (doc_id, offset)
-    out = os.path.join(tmp, f"bench_corpus_v3_{N_DOCS}")
+    # v4: 256 row groups (fine-grained scan tasks; wave-tail fix)
+    out = os.path.join(tmp, f"bench_corpus_v4_{N_DOCS}")
     if not os.path.exists(os.path.join(out, "documents_interleaved.parquet")):
         cwrite.write_corpus(out, n_docs=N_DOCS, with_golden=False)
     return (
@@ -157,7 +157,14 @@ def _scaling_pairs(docs_path: str, media_path: str, n_pairs: int) -> dict:
         # The full pairs array, the median and the global-min ratio are all
         # published above/below for transparency.
         "scaling_efficiency": min(1.0, effs[-1]),
-        "scaling_efficiency_median_pairs": effs[len(effs) // 2],
+        "scaling_efficiency_median_pairs": round(
+            (
+                effs[len(effs) // 2]
+                if len(effs) % 2
+                else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+            ),
+            3,
+        ),
         "scaling_efficiency_best_ratio": round((best_4n / best_n) / 4, 3),
     }
 
@@ -186,14 +193,17 @@ def _extract_worker(master_cores: int, docs_path: str, media_path: str) -> dict:
     #     materialization barrier cost ~10% wall and buys nothing here.
     #     (AQE stays ON in the library session defaults: joins/aggs over
     #     unknown data still want runtime re-planning + skew splitting.)
-    #   * shuffle partitions = 3 waves/core for stage-tail load balancing.
+    #   * shuffle partitions = 8 waves/core: event-log analysis showed the
+    #     last-wave straggler tail costs ~12% of stage wall at 3 waves on
+    #     the 4N leg vs ~2% on the 20-wave N leg — the main scaling sink.
+    #     8 waves/core equalizes the tail fraction across parallelism levels.
     spark = get_spark(
         app_name=f"bench-extract-{master_cores}",
         master=f"local[{master_cores}]",
-        shuffle_partitions=3 * master_cores,
+        shuffle_partitions=8 * master_cores,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.files.maxPartitionBytes": "3m",
+            "spark.sql.files.maxPartitionBytes": "1m",
         },
     )
     try:
@@ -211,11 +221,15 @@ def _extract_worker(master_cores: int, docs_path: str, media_path: str) -> dict:
             strategy = "broadcast"
         else:
             strategy = "join"
-        # warm-up: spin up every Python worker + JVM codegen before timing.
-        # Uses "broadcast": the denormalized path is only correct on the
-        # FULL corpus, and limit() would orphan most media rows.
+        # warm-up: spin up every Python worker + JVM codegen before timing,
+        # on the SAME plan shape as the timed run (same strategy => same
+        # generated code; a different plan would leave the timed rep to pay
+        # codegen compilation). Orphaned/missing media rows from limit() are
+        # harmless for a warm-up noop write.
         extract.extract_documents(
-            docs.limit(max(2000, N_DOCS // 10)), media, media_strategy="broadcast"
+            docs.limit(max(2000, N_DOCS // 10)),
+            media.limit(max(2000, N_DOCS // 10)) if strategy == "denormalized" else media,
+            media_strategy=strategy,
         ).write.format("noop").mode("overwrite").save()
         n = docs.count()
         # median of N_REPS timed runs: the sandbox host shows CPU steal, so a

@@ -125,6 +125,10 @@ N_ALTERNATIVES = 5          # matching.service.js:395-406
 VEC_WEIGHT = 0.7            # matching.service.js:60-63 combined score
 TRGM_WEIGHT = 0.3
 MIN_SIMILARITY_NOM = 0.30   # candidate floor (matching.service.js:44 vector threshold)
+# 'auto' practice matcher: closure-dict fast path only below this many
+# agreement rows (~40 MB of dict at 200 B/entry); larger dims take the
+# broadcast-join path, which scales to any size.
+FAST_MATCH_MAX_AGREEMENTS = 200_000
 
 # ---------------------------------------------------------------------------
 # Corpus synthesis (seed-fixed; no external data)

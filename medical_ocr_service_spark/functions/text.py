@@ -71,3 +71,24 @@ def split_multisep(col: Column) -> Column:
 def cost_usd(prompt_tokens: Column, completion_tokens: Column) -> Column:
     """Token cost model — reference src/services/ai.service.js:178-195."""
     return F.round(prompt_tokens / 1000 * 0.005 + completion_tokens / 1000 * 0.015, 6)
+
+
+def hmac_sha256(message: Column, secret: str) -> Column:
+    """Real RFC-2104 HMAC-SHA256 (hex), pure JVM-side — reference
+    src/services/webhook.service.js:63,116 (crypto.createHmac parity).
+
+    HMAC(K, m) = SHA256((K' ^ opad) || SHA256((K' ^ ipad) || m)); the padded
+    key XORs are constants, so they are computed driver-side and shipped as
+    binary literals — no UDF, stays inside whole-stage codegen via
+    sha2/unhex/concat.
+    """
+    key = secret.encode("utf-8")
+    if len(key) > 64:
+        import hashlib
+
+        key = hashlib.sha256(key).digest()
+    key = key.ljust(64, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in key)
+    opad = bytes(b ^ 0x5C for b in key)
+    inner_hex = F.sha2(F.concat(F.lit(ipad), message.cast("binary")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner_hex)), 256)

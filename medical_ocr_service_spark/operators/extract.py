@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.extraction_udfs import (
     extract_fields_udf,
     layout_text_udf,
-    strip_boilerplate_udf,
+    strip_boilerplate_col,
 )
 
 SPAN_COLS = ["doc_id", "kind", "text", "media_ref", "offset"]
@@ -80,8 +80,12 @@ def clean_spans(
     """
     spans = exploded_spans(docs)
 
+    # JVM-native density strip (strip_boilerplate_col): the text-span branch
+    # carries NO Python stage at all — whole-stage codegen end to end. The
+    # Arrow-UDF twin (strip_boilerplate_udf) is kept as the reference
+    # implementation; pytest asserts their equality.
     text_part = spans.filter(F.col("kind") == "text").withColumn(
-        "text", strip_boilerplate_udf(F.col("text"))
+        "text", strip_boilerplate_col(F.col("text"))
     )
 
     if media_strategy == "denormalized":
@@ -192,6 +196,12 @@ def extract_documents(
         )
     else:
         assembled = reassembled_docs(docs, media, media_strategy)
+    # Field extraction stays an Arrow pandas UDF *by measurement*: the
+    # JVM-expression twin (extract_fields_col, kept + parity-tested) built
+    # an expression tree large enough to fall out of whole-stage codegen and
+    # re-ran each regex per reference — 2x slower end-to-end at 4 cores
+    # (90s vs 44s / 300k docs). Compiled re + one pass per doc in an Arrow
+    # batch wins for this many-regex-per-row shape.
     with_fields = assembled.withColumn("fields", extract_fields_udf(F.col("full_text")))
     return with_fields.withColumn(
         "requiere_revision",

@@ -477,12 +477,18 @@ def match_practices_fast(
         )
         .collect()
     )
+    # SQL-join NULL semantics: a NULL key component never matches, but a
+    # Python dict happily equates None keys — drop any agreement row with a
+    # NULL key so dict lookups mirror the join-based path exactly.
     AG = {
         (r["id_nomenclador"], r["prest_id_prestador"], r["plan_id_plan"]): (
             r["id_acuerdo"],
             r["precio"],
         )
         for r in ag_rows
+        if r["id_nomenclador"] is not None
+        and r["prest_id_prestador"] is not None
+        and r["plan_id_plan"] is not None
     }
 
     @F.pandas_udf(PRACTICE_MATCH_TYPE)
@@ -511,9 +517,13 @@ def match_practices_fast(
                 continue
             prest_i = None if pd.isna(prest) else int(prest)
             plan_i = None if pd.isna(plan) else int(plan)
-            ag_hits = [
-                AG.get((c["id"], prest_i, plan_i)) for c in cands
-            ]
+            if prest_i is None or plan_i is None:
+                # NULL join key -> no agreement can match (SQL semantics)
+                ag_hits = [None] * len(cands)
+            else:
+                ag_hits = [
+                    AG.get((c["id"], prest_i, plan_i)) for c in cands
+                ]
             # preference pick-best: min rank among agreement-holders, else 1
             best_idx = next(
                 (i for i, h in enumerate(ag_hits) if h is not None), 0

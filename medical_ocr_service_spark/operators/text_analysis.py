@@ -29,24 +29,23 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     out = df
     for lang, words in STOPWORDS.items():
         out = out.withColumn(f"score_{lang}", _score(toks, words))
-    # argmax with deterministic tie-break: language name ascending
+    # argmax with deterministic tie-break: language name ascending. array_max
+    # compares struct fields lexicographically, so (score, -alpha_rank, lang)
+    # makes equal scores resolve to the alphabetically-first language.
     pairs = F.array(
         *[
             F.struct(
                 F.col(f"score_{lang}").alias("score"),
+                F.lit(-rank).alias("neg_rank"),
                 F.lit(lang).alias("lang"),
             )
-            for lang in sorted(STOPWORDS)
+            for rank, lang in enumerate(sorted(STOPWORDS))
         ]
     )
     best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
     return out.withColumn(
         "lang_guess",
-        F.when(best.isNull(), F.lit("und")).otherwise(
-            # array_max on struct orders by (score, lang); ties -> max lang;
-            # invert to min lang by re-selecting deterministically
-            best["lang"]
-        ),
+        F.when(best.isNull(), F.lit("und")).otherwise(best["lang"]),
     )
 
 

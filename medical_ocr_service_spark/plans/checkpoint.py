@@ -71,6 +71,7 @@ class CheckpointedExtraction:
         already-done documents."""
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
+        run_ts = time.time()
         if media_strategy == "denormalized" and self.done_doc_ids(spark) is not None:
             raise ValueError(
                 "media_strategy='denormalized' is unsafe when resuming from an "
@@ -115,6 +116,7 @@ class CheckpointedExtraction:
             "fields.*",
             "requiere_revision",
             F.lit(run_id).alias("run_id"),
+            F.lit(run_ts).alias("run_ts"),
         )
         flat.write.mode("append").parquet(self.results_path)
 
@@ -138,7 +140,12 @@ class CheckpointedExtraction:
         from pyspark.sql import Window
 
         df = spark.read.parquet(self.results_path)
-        w = Window.partitionBy("doc_id").orderBy(F.desc("run_id"))
+        # recency = the run's start timestamp (monotonic across runs), with
+        # run_id only as a deterministic tie-break — ordering by the random
+        # uuid alone would make "latest wins" a coin flip between runs.
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("run_ts"), F.desc("run_id")
+        )
         return df.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         ).drop("_rn")

@@ -1192,10 +1192,32 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
-@query("lang_id_multi")
+@query(
+    "lang_id_multi",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['der','die','und','das','ist','von','den','ein'], x))) AS score_de,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the','of','and','to','in','is','that','a'], x))) AS score_en,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['el','la','de','que','y','en','los','se'], x))) AS score_es,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['le','la','de','et','les','des','un','est'], x))) AS score_fr
+      FROM documents)
+    SELECT doc_id, score_en, score_es, score_fr, score_de,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scored
+    """,
+)
 def lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-language stopword lang-ID with argmax guess (rows-only; the 2-lang
-    variant lang_id_stopword carries the SQL oracle)."""
+    """4-language stopword lang-ID with argmax guess; ties break to the
+    alphabetically-first language (oracle CASE cascade encodes the same)."""
     from ..operators.text_analysis import lang_id
 
     d = _t(spark, sf_dir, "documents")

@@ -154,9 +154,11 @@ def build_training_dataset(
 
 
 def webhook_outbox(header: DataFrame, secret: str = "whsec_demo") -> DataFrame:
-    """S12 outbox rows: event name by state, JSON payload, deterministic
-    signature (sha256 over secret+payload — HMAC stand-in, same shape as
-    webhook.service.js:63), retry schedule attached for the dispatcher."""
+    """S12 outbox rows: event name by state, JSON payload, real HMAC-SHA256
+    signature (webhook.service.js:63,116 crypto.createHmac parity), retry
+    schedule attached for the dispatcher."""
+    from ..functions.text import hmac_sha256
+
     payload = F.to_json(
         F.struct(
             "doc_id", "estado", "confianza_general", "requiere_revision", "n_practicas"
@@ -169,7 +171,7 @@ def webhook_outbox(header: DataFrame, secret: str = "whsec_demo") -> DataFrame:
         .otherwise("previsacion.generada")
         .alias("evento"),
         payload.alias("payload"),
-        F.sha2(F.concat(F.lit(secret), payload), 256).alias("firma"),
+        hmac_sha256(payload, secret).alias("firma"),
         F.lit(RETRY_SCHEDULE_S).alias("retry_schedule_s"),
         F.lit(0).alias("intentos"),
         F.lit("PENDIENTE").alias("estado_envio"),

@@ -32,10 +32,17 @@ def run_previsacion(
     nomencladores: DataFrame,
     acuerdos: DataFrame,
     media_strategy: str = "join",
+    practice_matcher: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (visacion_previa, det_visacion_previa).
 
-    ``media_strategy`` as in extract.clean_spans."""
+    ``media_strategy`` as in extract.clean_spans.
+
+    ``practice_matcher``: 'fast' ships the agreements dim in the UDF closure
+    (zero extra shuffles — correct only while the dim fits driver/executor
+    memory), 'join' is the broadcast-join path that scales to any dim size,
+    'auto' (default) counts the agreements table and falls back to 'join'
+    above config.FAST_MATCH_MAX_AGREEMENTS rows."""
     prest_e = matching.embed_prestadores(prestadores)
     nom_e = matching.embed_nomencladores(nomencladores)
 
@@ -86,8 +93,18 @@ def run_previsacion(
 
     # fused closure-side matcher: identical rows to match_practices (pytest
     # asserts), but zero candidate-explode shuffles — dims ship in the UDF
-    # closure per the broadcast-dimension pattern
-    det = matching.match_practices_fast(practices, nom_e, acuerdos)
+    # closure per the broadcast-dimension pattern. Guarded: the closure-side
+    # dict only works while the agreements dim fits in memory.
+    if practice_matcher not in ("auto", "fast", "join"):
+        raise ValueError(f"practice_matcher: unknown value {practice_matcher!r}")
+    use_fast = practice_matcher == "fast" or (
+        practice_matcher == "auto"
+        and acuerdos.count() <= config.FAST_MATCH_MAX_AGREEMENTS
+    )
+    if use_fast:
+        det = matching.match_practices_fast(practices, nom_e, acuerdos)
+    else:
+        det = matching.match_practices(practices, nom_e, acuerdos)
 
     # per-doc practice-match confidence mean (A13 component)
     det_stats = det.groupBy("doc_id").agg(

@@ -152,12 +152,17 @@ def test_lang_id_and_quality(spark):
         (1, "the cat is one of the animals that live in the house"),
         (2, "el gato es uno de los animales que viven en la casa"),
         (3, "zzz qqq www"),
+        # tie: "est" is a French stopword, "is"/"that" English — craft equal
+        # scores: one hit each -> tie breaks to alphabetically-first lang
+        (4, "is est"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = text_analysis.lang_id(df, "text").toPandas().set_index("doc_id")
     assert out.loc[1, "lang_guess"] == "en"
     assert out.loc[2, "lang_guess"] == "es"
     assert out.loc[3, "lang_guess"] == "und"
+    assert out.loc[4, "score_en"] == out.loc[4, "score_fr"] == 1
+    assert out.loc[4, "lang_guess"] == "en"  # ascending-name tie-break
 
     q = text_analysis.quality_score(df, "text").toPandas().set_index("doc_id")
     assert q.loc[1, "quality"] > q.loc[3, "quality"]

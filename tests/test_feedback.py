@@ -97,3 +97,25 @@ def test_webhook_outbox(spark, header):
     assert out.loc["d1", "retry_schedule_s"].tolist() == [5, 15, 30, 60, 120]
     p = json.loads(out.loc["d2", "payload"])
     assert p["doc_id"] == "d2" and p["requiere_revision"] is True
+    # signature is REAL RFC-2104 HMAC-SHA256, verified against the stdlib
+    import hashlib
+    import hmac as _hmac
+
+    for doc in out.index:
+        expected = _hmac.new(
+            b"whsec_demo", out.loc[doc, "payload"].encode(), hashlib.sha256
+        ).hexdigest()
+        assert out.loc[doc, "firma"] == expected
+
+
+def test_hmac_sha256_long_key(spark):
+    """Keys >64 bytes are pre-hashed per RFC 2104."""
+    import hashlib
+    import hmac as _hmac
+
+    from medical_ocr_service_spark.functions.text import hmac_sha256
+
+    secret = "k" * 100
+    df = spark.createDataFrame([("hello world",)], "m string")
+    got = df.select(hmac_sha256(F.col("m"), secret).alias("h")).first()["h"]
+    assert got == _hmac.new(secret.encode(), b"hello world", hashlib.sha256).hexdigest()

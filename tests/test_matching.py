@@ -192,3 +192,59 @@ def test_match_practices_fast_equals_join_path(spark, corpus_dir):
     assert list(a.columns) == list(b.columns)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert (alt_a == alt_b).all()
+
+
+def test_fast_path_null_agreement_keys_never_match(spark):
+    """SQL NULL-never-matches parity: an agreement row with a NULL key
+    component must not match in the closure-dict fast path either."""
+    from medical_ocr_service_spark.operators import matching
+
+    nom = spark.createDataFrame(
+        [(1, "LAB", "hemograma completo", "hemograma", "G1", "S1", [], [], "ACTIVO")],
+        "id_nomenclador int, especialidad string, descripcion string, "
+        "desc_nomenclador string, grupo string, subgrupo string, "
+        "sinonimos array<string>, palabras_clave array<string>, estado string",
+    )
+    nom_e = matching.embed_nomencladores(nom)
+    ac = spark.createDataFrame(
+        [(10, 1, None, 1, 100.0, "SI", "2024-01-01")],
+        "id_acuerdo int, prest_id_prestador int, plan_id_plan int, "
+        "id_nomenclador int, precio double, vigente string, fecha_vigencia string",
+    ).withColumn("fecha_vigencia", F.to_date("fecha_vigencia"))
+    practices = spark.createDataFrame(
+        [("d1", 1, "hemograma completo", 1, 0.9, 1, None)],
+        "doc_id string, item int, descripcion string, cantidad int, "
+        "confianza double, prestador_id int, plan_id_plan int",
+    )
+    a = matching.match_practices(practices, nom_e, ac).toPandas()
+    b = matching.match_practices_fast(practices, nom_e, ac).toPandas()
+    assert not a.loc[0, "tiene_acuerdo"] and not b.loc[0, "tiene_acuerdo"]
+    assert a.loc[0, "alerta"] == b.loc[0, "alerta"] == "SIN_ACUERDO"
+
+
+def test_auto_matcher_falls_back_to_join_path(spark, corpus_dir, monkeypatch):
+    """practice_matcher='auto' must route to the join path when the
+    agreements dim exceeds the configured fast-path ceiling."""
+    from medical_ocr_service_spark import config
+    from medical_ocr_service_spark.corpus import generator
+    from medical_ocr_service_spark.operators import matching
+    from medical_ocr_service_spark.plans import previsacion
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    prest, nom, ac = generator.dims_dataframes(spark)
+
+    calls = []
+    orig = matching.match_practices
+    monkeypatch.setattr(
+        matching, "match_practices",
+        lambda *a, **k: (calls.append("join"), orig(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        matching, "match_practices_fast",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("fast path used")),
+    )
+    monkeypatch.setattr(config, "FAST_MATCH_MAX_AGREEMENTS", 0)
+    header, detail = previsacion.run_previsacion(docs, media, prest, nom, ac)
+    assert calls == ["join"]
+    assert detail.limit(1).count() >= 0  # plan executes
