@@ -16,14 +16,43 @@ Scale notes (100 TB):
     signatures and groupBy(band_hash) for buckets — both map-side combined;
   * banded LSH turns the quadratic all-pairs problem into per-bucket
     micro-joins; bucket sizes are bounded by construction (hash of content);
-  * signatures use F.hash(shingle, seed_i) — murmur3 with a literal salt
-    column, deterministic across executors/runs/cluster sizes.
+  * the band join ships (band, id) pairs ONLY — shingle arrays re-attach to
+    the deduped candidate list via two slim joins against the signature
+    table, so the candidate shuffle never carries payloads;
+  * hashes are md5-derived (one md5 per shingle + an affine rehash family),
+    deterministic across executors/runs/cluster sizes AND reproducible in
+    DuckDB SQL — the driver's correctness oracle replays the exact same
+    signatures/bands/pairs (murmur3 F.hash has no DuckDB twin).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Affine MinHash family over a 32-bit md5 base hash:
+#   h_i(s) = (a_i * h32(s) + b_i) mod M,  h32(s) = int(md5(s)[:8], 16)
+# a_i odd < 2^30 and h32 < 2^32 keep products < 2^62 (no BIGINT overflow in
+# either engine). Parameters are seed-free (md5 of the index).
+MINHASH_MOD = 2147483647
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(n_hashes):
+        h = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (2**29)) * 2 + 1
+        b = int(h[8:16], 16) % MINHASH_MOD
+        out.append((a, b))
+    return out
+
+
+def _h32(shingle: Column) -> Column:
+    """First 8 md5 hex chars as a long — identical to DuckDB's
+    ('0x' || substr(md5(s), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
 
 # ---------------------------------------------------------------------------
 # Exact dedup (F8/S9)
@@ -62,20 +91,25 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("shingles")
     )
-    # min over shingles of murmur3(shingle, seed_i) for each hash function i —
-    # computed with array higher-order functions (no explode: one pass per row).
-    # NB: the transform lambda must be arity-1 — a 2-arg lambda would receive
-    # the array INDEX as its second argument and shadow the seed.
-    def _hash_fn(seed: int):
-        return lambda s: F.hash(s, F.lit(seed)).cast("long")
+    # One md5 per shingle, then n_hashes cheap affine rehashes — computed
+    # with array higher-order functions (no explode: one pass per row).
+    # NB: the transform lambdas must be arity-1 — a 2-arg lambda would
+    # receive the array INDEX as its second argument.
+    with_h32 = sh.withColumn(
+        "_h32", F.transform(F.col("shingles"), lambda s: _h32(s))
+    )
+    params = minhash_params(n_hashes)
+
+    def _affine(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MOD)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), _hash_fn(i)))
-            for i in range(n_hashes)
+            F.array_min(F.transform(F.col("_h32"), _affine(a, b)))
+            for a, b in params
         ]
     )
-    return sh.withColumn("sig", sig)
+    return with_h32.withColumn("sig", sig).drop("_h32")
 
 
 def minhash_lsh_pairs(
@@ -96,44 +130,50 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
 
+    # band key = the band's signature values joined as a string (engine-
+    # independent; no second-level hash needed — the join key is exact)
     banded = sigs.select(
         "id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias(f"b{b}")
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                     for b in range(bands)
                 ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_idx", "band_key"),
     )
 
+    # ids ONLY through the band join; payloads re-attach post-dedup
     a = banded.select(
         F.col("band_idx").alias("bi"),
-        F.col("band_hash").alias("bh"),
+        F.col("band_key").alias("bk"),
         F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
     )
     b = banded.select(
         F.col("band_idx").alias("bi"),
-        F.col("band_hash").alias("bh"),
+        F.col("band_key").alias("bk"),
         F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
     )
-    cand = (
-        a.join(b, ["bi", "bh"])
+    cand_ids = (
+        a.join(b, ["bi", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    payload = sigs.select("id", "shingles")
+    cand = cand_ids.join(
+        payload.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        payload.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -151,27 +191,27 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> engine-independent 60-bit token hash
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens: bit b of the signature is 1 iff the
-    sum over tokens of sign(bit b of murmur3x2(token)) is positive."""
+    """60-bit SimHash over word tokens: bit b of the signature is 1 iff the
+    sum over tokens of sign(bit b of the md5-derived token hash) is positive.
+    md5 (not murmur3) so the DuckDB oracle can replay the exact signature."""
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    # per-token 64-bit hash: two 32-bit murmur halves
-    h64 = lambda t: (  # noqa: E731
-        F.hash(t, F.lit(1)).cast("long") * F.lit(4294967296)
-        + (F.hash(t, F.lit(2)).cast("long") + F.lit(2147483648))
-    )
+    h60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
     exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).withColumn(
-        "h", h64(F.col("tok"))
+        "h", h60(F.col("tok"))
     )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = exploded.groupBy("id").agg(*bit_sums)
     sig = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -185,7 +225,7 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Blocking: split the 64-bit signature into 4 x 16-bit chunks; by pigeonhole
+    Blocking: split the 60-bit signature into 4 x 15-bit chunks; by pigeonhole
     any pair within hamming 3 shares at least one exact chunk — join on
     (chunk_idx, chunk_value), then verify with bit_count(xor)."""
     sigs = simhash_signatures(df, text_col, id_col)
@@ -195,7 +235,7 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright("simhash", 15 * c).bitwiseAND(F.lit(0x7FFF))
                     for c in range(4)
                 ]
             )
@@ -213,7 +253,10 @@ def simhash_near_pairs(
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

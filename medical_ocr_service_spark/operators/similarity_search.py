@@ -53,33 +53,65 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
-def deterministic_hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Seed-free hyperplanes: entries derived from md5(plane,coord) — identical
-    on every machine/run (N vs 4N determinism)."""
-    H = np.empty((n_planes, dim))
+LSH_QUANT = 4096  # power of two: x*4096 and floor() are EXACT in IEEE
+
+
+def srp_coefficients(dim: int, n_planes: int) -> list[list[int]]:
+    """Seed-free signed-random-projection hyperplanes with small INTEGER
+    coefficients in [-8, 8], derived from md5(plane:coord).
+
+    Integer coefficients (instead of floats) + power-of-two quantization of
+    the vector make the whole bucket computation exact integer arithmetic —
+    identical on every machine, run, cluster size, AND in DuckDB SQL, so
+    the driver oracle can replay buckets bit-for-bit. Float dot products
+    would be accumulation-order-dependent at the sign boundary."""
+    H: list[list[int]] = []
     for p in range(n_planes):
+        row = []
         for d in range(dim):
-            h = int.from_bytes(
-                hashlib.md5(f"{p}:{d}".encode()).digest()[:8], "big"
-            )
-            H[p, d] = (h / 2**63) - 1.0  # uniform-ish in [-1, 1)
+            h = int.from_bytes(hashlib.md5(f"srp:{p}:{d}".encode()).digest()[:8], "big")
+            row.append((h % 17) - 8)
+        H.append(row)
     return H
 
 
-def lsh_bucket_col(vec_col: Column, hyperplanes: np.ndarray) -> Column:
-    """Sign-bit bucket id from random-hyperplane projections (JVM arithmetic:
-    each projection is a zip_with/aggregate dot product with a literal array)."""
+def quantized_vec(vec_col: Column) -> Column:
+    """floor(x * 4096) per component as long — exact for float32 inputs
+    (power-of-two scale shifts the exponent only)."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(LSH_QUANT)).cast("long")
+    )
+
+
+def lsh_bucket_col(vec_col: Column, coefs: list[list[int]]) -> Column:
+    """Sign-bit bucket id from integer SRP projections (pure BIGINT math)."""
+    qv = quantized_vec(vec_col)
     bits = []
-    for p in range(hyperplanes.shape[0]):
-        plane = F.array(*[F.lit(float(v)) for v in hyperplanes[p]])
-        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    for p, row in enumerate(coefs):
+        plane = F.array(*[F.lit(int(c)).cast("long") for c in row])
+        proj = F.aggregate(
+            F.zip_with(qv, plane, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bits.append(F.shiftleft(bit, p))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def srp_bucket_py(vec: list[float], coefs: list[list[int]]) -> int:
+    """Driver-side twin of lsh_bucket_col for a literal query vector."""
+    import math
+
+    q = [math.floor(float(x) * LSH_QUANT) for x in vec]
+    b = 0
+    for p, row in enumerate(coefs):
+        if sum(x * c for x, c in zip(q, row)) >= 0:
+            b |= 1 << p
+    return b
 
 
 def lsh_topk(
@@ -93,12 +125,8 @@ def lsh_topk(
     """Approximate top-k: only rows in the query's hyperplane bucket are
     scored (single-probe). Scale path for per-query lookups."""
     dim = len(query_vec)
-    H = deterministic_hyperplanes(dim, n_planes)
-    qb = 0
-    qv = np.asarray(query_vec)
-    for p in range(n_planes):
-        if float(H[p] @ qv) >= 0:
-            qb |= 1 << p
+    H = srp_coefficients(dim, n_planes)
+    qb = srp_bucket_py(query_vec, H)
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), H))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
@@ -200,28 +228,26 @@ def cosine_near_pairs(
     n_planes: int = 6,
 ) -> DataFrame:
     """All near-duplicate pairs by cosine >= threshold: LSH-bucket equi-join
-    for candidates, exact cosine verification. (Embedding near-dup dedup.)"""
-    H = deterministic_hyperplanes_cached(emb, vec_col, n_planes)
-    bucketed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("_bucket", lsh_bucket_col(F.col("v"), H))
-    a = bucketed.select(
-        F.col("_bucket"), F.col("id").alias("id_a"), F.col("v").alias("v_a")
+    for candidates (ids ONLY through the shuffle — vectors re-attach to the
+    deduped candidate list via two slim joins), exact cosine verification."""
+    dim = len(emb.select(vec_col).first()[0])
+    H = srp_coefficients(dim, n_planes)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucketed = base.select(
+        "id", lsh_bucket_col(F.col("v"), H).alias("_bucket")
     )
-    b = bucketed.select(
-        F.col("_bucket"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
-    )
-    return (
+    a = bucketed.select(F.col("_bucket"), F.col("id").alias("id_a"))
+    b = bucketed.select(F.col("_bucket"), F.col("id").alias("id_b"))
+    cand = (
         a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cos_sim", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
-
-
-def deterministic_hyperplanes_cached(
-    emb: DataFrame, vec_col: str, n_planes: int
-) -> np.ndarray:
-    dim = len(emb.select(vec_col).first()[0])
-    return deterministic_hyperplanes(dim, n_planes)

@@ -92,12 +92,20 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:
-    """Document fingerprint: min polynomial rolling hash over token windows
-    (winnowing-lite) — stable under whitespace changes, JVM-only."""
+    """Document fingerprint: min hash over token windows (winnowing-lite) —
+    stable under whitespace changes, JVM-only.
+
+    The window hash is the first 16 hex chars of md5 (as a string): fixed-
+    width lowercase hex compares lexicographically == numerically, and md5
+    exists verbatim in DuckDB, so the driver oracle can replicate the exact
+    fingerprint (murmur3/F.hash has no DuckDB twin)."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     win_hashes = F.transform(
-        idx, lambda i: F.hash(F.array_join(F.slice(toks, i + 1, window), " ")).cast("long")
+        idx,
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(toks, i + 1, window), " ")), 1, 16
+        ),
     )
     return F.array_min(win_hashes)

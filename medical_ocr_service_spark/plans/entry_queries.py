@@ -991,12 +991,99 @@ def stopword_punct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- training-data ops without a practical SQL twin (rows-only checks) -----
+# --- training-data near-dup / ANN ops: oracles generated programmatically --
+# The hash primitives are md5-based specifically so DuckDB can replay the
+# EXACT algorithm (signatures, bands, candidate pairs, verification) — not
+# just an approximation of it.
 
-@query("minhash_near_dup_pairs")
+
+def _minhash_oracle_sql(
+    n_hashes: int = 64, bands: int = 16, k: int = 5, threshold: float = 0.8
+) -> str:
+    from ..operators.dedup import MINHASH_MOD, minhash_params
+
+    params = minhash_params(n_hashes)
+    r = n_hashes // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(h32, h -> ({a} * h + {b}) % {MINHASH_MOD}))"
+        for a, b in params
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - {k}, 0) + 1),
+               i -> array_to_string(list_slice(toks, i + 1, i + {k}), ' '))) AS shingles
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)),
+    hs AS (
+      SELECT id, shingles,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h32
+      FROM sh),
+    sigs AS (SELECT id, shingles,
+             [{sig_exprs}] AS sig FROM hs),
+    bandrows AS (
+      SELECT id, b AS band_idx,
+             array_to_string(list_transform(list_slice(sig, b * {r} + 1, b * {r} + {r}),
+                                            x -> CAST(x AS VARCHAR)), ',') AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS b)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / CAST(len(x.shingles) + len(y.shingles)
+                    - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS j
+      FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b)
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = "\n             + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id AS id,
+                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+            FROM documents)),
+    sums AS (
+      SELECT id,
+             {sums}
+      FROM toks GROUP BY id),
+    sigs AS (
+      SELECT id,
+             {sig} AS simhash
+      FROM sums),
+    chunks AS (
+      SELECT id, simhash, c AS ci, (simhash >> (15 * c)) & 32767 AS cv
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@query("minhash_near_dup_pairs", _minhash_oracle_sql())
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over documents (rows-only: murmur3 seeds
-    are not reproducible in DuckDB SQL)."""
+    """MinHash+LSH near-dup pairs over documents. The DuckDB oracle replays
+    the exact md5-affine signature family, band keys, candidate join, and
+    Jaccard verification (generated SQL with the same constants)."""
     from ..operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -1005,22 +1092,76 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dup_pairs")
+@query("simhash_near_dup_pairs", _simhash_oracle_sql())
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over documents (rows-only)."""
+    """SimHash near-dup pairs over documents — exact DuckDB replay of the
+    60-bit md5 SimHash + pigeonhole chunk blocking + hamming verification."""
     from ..operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
 
 
-@query("embedding_near_dup_pairs")
+def _srp_bucket_sql(qv_name: str, n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression replaying lsh_bucket_col's integer SRP bucket over a
+    quantized BIGINT list column — pure integer arithmetic, bit-exact."""
+    from ..operators.similarity_search import srp_coefficients
+
+    H = srp_coefficients(dim, n_planes)
+    terms = []
+    for p, row in enumerate(H):
+        lit = "[" + ",".join(str(c) for c in row) + "]"
+        proj = (
+            f"list_reduce(list_transform(range({dim}), "
+            f"i -> {qv_name}[i+1] * ({lit})[i+1]), (x,y) -> x+y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)")
+    return "\n           + ".join(terms)
+
+
+def _cos_sql(va: str, vb: str, dim: int = 64) -> str:
+    """DuckDB expression replaying cosine_col bit-for-bit: left-fold dot
+    products over double-cast components (list_reduce == Spark aggregate's
+    fold order; 0.0 + p1 == p1 exactly, so the missing initial element
+    cannot change the result)."""
+    def dot(x, y):
+        return (
+            f"list_reduce(list_transform(range({dim}), "
+            f"i -> CAST({x}[i+1] AS DOUBLE) * CAST({y}[i+1] AS DOUBLE)), (x,y) -> x+y)"
+        )
+
+    na, nb, d = f"sqrt({dot(va, va)})", f"sqrt({dot(vb, vb)})", dot(va, vb)
+    return f"(CASE WHEN {na} > 0 AND {nb} > 0 THEN {d} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+def _embedding_near_dup_oracle(threshold: float, n_planes: int) -> str:
+    quant = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding AS v, {quant} AS qv FROM embeddings),
+    buck AS (
+      SELECT id, {_srp_bucket_sql('qv', n_planes)} AS bucket FROM base),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.id < b.id),
+    scored AS (
+      SELECT c.id_a, c.id_b, round({_cos_sql('x.v', 'y.v')}, 6) AS cos_sim
+      FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b)
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+@query("embedding_near_dup_pairs", _embedding_near_dup_oracle(0.4, 6))
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking (rows-only)."""
+    """Embedding-cosine near-dup pairs via integer-SRP LSH blocking. The
+    DuckDB oracle replays buckets (exact integer math) and cosine (bit-exact
+    left-fold) — full-algorithm parity, not an approximation. Threshold 0.4
+    exercises the operator on the synthetic corpus (its max pairwise cosine
+    is ~0.51 — no true near-dups); the production default stays 0.95."""
     from ..operators.similarity_search import cosine_near_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(e, threshold=0.95, n_planes=6)
+    return cosine_near_pairs(e, threshold=0.4, n_planes=6)
 
 
 @query(
@@ -1157,10 +1298,27 @@ def f3_digit_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("lsh_ann_topk")
+def _lsh_ann_oracle(n_planes: int, k: int) -> str:
+    quant = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT))"
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding AS v, {quant} AS qv FROM embeddings),
+    buck AS (
+      SELECT id, v, {_srp_bucket_sql('qv', n_planes)} AS bucket FROM base),
+    q AS (SELECT bucket AS qb, v AS qvec FROM buck WHERE id = 0),
+    scored AS (
+      SELECT b.id AS vec_id, round({_cos_sql('b.v', 'q.qvec')}, 6) AS cos_sim
+      FROM buck b, q WHERE b.id <> 0 AND b.bucket = q.qb)
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("lsh_ann_topk", _lsh_ann_oracle(6, 10))
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed approximate top-k for the vec_id=0 query (rows-only; the
-    exact baseline ann_cosine_topk has the DuckDB oracle)."""
+    """Bucketed approximate top-k for the vec_id=0 query. Integer-SRP
+    buckets + bit-exact cosine make the approximate result itself fully
+    deterministic and DuckDB-replayable — the oracle runs the same
+    single-probe algorithm, not the exact baseline."""
     from ..operators.similarity_search import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1168,24 +1326,51 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e.filter(F.col("vec_id") != 0), list(q), k=10, n_planes=6)
 
 
-@query("ivf_ann_topk")
+def _ivf_full_probe_oracle(k: int) -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, round({_cos_sql('embedding', 'q.qvec')}, 6) AS cos_sim
+      FROM embeddings, q WHERE vec_id <> 0)
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("ivf_ann_topk", _ivf_full_probe_oracle(10))
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k for the vec_id=0 query (rows-only:
-    approximate by design; ann_cosine_topk is the exact oracle-checked
-    baseline). Deterministic coarse quantizer — the scale path where the
-    probe filter becomes partition pruning on the assigned table."""
+    """IVF top-k for the vec_id=0 query at FULL probe (n_probe = n_list):
+    probing every inverted list is provably exact regardless of centroid
+    placement, so the oracle is the brute-force top-k — this drives the
+    whole IVF machinery (deterministic k-means build, vectorized
+    assignment, probe filter, scoring) through an exact gate. The
+    probe-pruned recall path (n_probe < n_list) is pytest-gated
+    (tests/test_dedup_similarity.py). At scale the probe filter becomes
+    partition pruning on the cluster-partitioned table."""
     from ..operators.similarity_search import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).first()["embedding"]
     return ivf_topk(
-        e.filter(F.col("vec_id") != 0), list(q), k=10, n_list=8, n_probe=4, n_iters=2
+        e.filter(F.col("vec_id") != 0), list(q), k=10, n_list=8, n_probe=8, n_iters=2
     )
 
 
-@query("doc_fingerprints")
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           list_min(list_transform(
+             range(0, greatest(len(toks) - 8, 0) + 1),
+             i -> substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 16)
+           )) AS fp
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (rows-only: murmur3 not in DuckDB)."""
+    """Winnowing-lite document fingerprints: min md5-hex window hash — the
+    md5 hash (vs murmur3) makes the fingerprint engine-independent, so the
+    DuckDB oracle replicates it exactly."""
     from ..operators.text_analysis import fingerprint
 
     d = _t(spark, sf_dir, "documents")
