@@ -320,9 +320,21 @@ def synthesize_corpus(
                     {"kind": "text", "text": text, "media_ref": None, "offset": offset}
                 )
         rng.shuffle(spans)  # storage order must NOT be relied on
-        docs.append({"doc_id": doc_id, "spans": spans})
+        # P1 multitenancy (migration_multitenant.sql:32-137): deterministic
+        # tenant split derived WITHOUT consuming rng (span content unchanged)
+        docs.append(
+            {"doc_id": doc_id, "spans": spans, "tenant_id": tenant_for_index(i)}
+        )
 
     return docs, media_rows
+
+
+TENANTS = ("tenant-a", "tenant-b")
+
+
+def tenant_for_index(i: int) -> str:
+    """~20% of rows belong to the second tenant; rng-free (determinism)."""
+    return TENANTS[1] if i % 5 == 0 else TENANTS[0]
 
 
 # --- dimension tables (FIXTURES.md §2-4) ------------------------------------
@@ -350,7 +362,7 @@ def synthesize_dimensions(seed: int = config.CORPUS_SEED) -> dict[str, list[dict
                 "nombre_normalizado": None,
                 "cantidad_acuerdos": 0,
                 "estado": "ACTIVO" if pid % 7 else "INACTIVO",
-                "tenant_id": "tenant-demo",
+                "tenant_id": tenant_for_index(pid),
             }
         )
     especialidades = ["LABORATORIO", "IMAGENES", "CARDIOLOGIA", "ONCOLOGIA", "ENDOSCOPIA", "KINESIOLOGIA"]
@@ -372,7 +384,7 @@ def synthesize_dimensions(seed: int = config.CORPUS_SEED) -> dict[str, list[dict
                 "palabras_clave": [desc.split()[0]],
                 "cantidad_acuerdos": 0,
                 "estado": "ACTIVO" if nid % 11 else "INACTIVO",
-                "tenant_id": "tenant-demo",
+                "tenant_id": tenant_for_index(nid),
             }
         )
     acuerdos = []
@@ -395,7 +407,8 @@ def synthesize_dimensions(seed: int = config.CORPUS_SEED) -> dict[str, list[dict
                             "precio_internado": round(precio * 1.4, 2),
                             "vigente": "SI" if rng.random() < 0.85 else "NO",
                             "fecha_vigencia": f"{rng.randrange(2022, 2026)}-{rng.randrange(1, 13):02d}-{rng.randrange(1, 29):02d}",
-                            "tenant_id": "tenant-demo",
+                            # agreement rows inherit the provider's tenant
+                            "tenant_id": p["tenant_id"],
                         }
                     )
                     aid += 1

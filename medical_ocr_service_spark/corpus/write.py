@@ -32,7 +32,13 @@ SPAN_STRUCT = pa.struct(
     ]
 )
 
-DOCS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))])
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+        ("tenant_id", pa.string()),
+    ]
+)
 
 GOLDEN_SPAN_SCHEMA = pa.schema(
     [

@@ -420,6 +420,35 @@ def p4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p1_tenant_filter",
+    """
+    SELECT o_orderkey, o_custkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY o_orderkey LIMIT 500
+    """,
+)
+def p1_tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P1 (matching.service.js:25-29): the tenant-scoping filter
+    pattern — every fact row joined only against its own tenant's dimension
+    slice (c_mktsegment stands in for tenant_id on the driver testdata; the
+    real tenant_id threading through run_previsacion is pytest-gated by
+    test_tenant_isolation). Broadcast the filtered dim; filter pushes to
+    the dim scan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_mktsegment")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
     "p6_time_window_filter",
     """
     SELECT event_type, COUNT(*) AS n FROM events

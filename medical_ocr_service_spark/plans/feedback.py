@@ -91,6 +91,51 @@ def apply_corrections(detail: DataFrame, corrections: DataFrame) -> DataFrame:
     ).drop("_c_doc", "_c_item")
 
 
+def _field_type(struct_type, path: str):
+    from pyspark.sql import types as T
+
+    t = struct_type
+    for part in path.split("."):
+        if not isinstance(t, T.StructType):
+            raise ValueError(f"path {path!r}: {part!r} is not inside a struct")
+        t = t[part].dataType
+    return t
+
+
+def apply_dot_path_corrections(
+    results: DataFrame, corrections: DataFrame, struct_col: str = "fields"
+) -> DataFrame:
+    """F20 (reference src/services/feedback.service.js:306-336): apply
+    corrections addressed by dot paths ('a.b.c') into the nested result
+    struct — Spark-native via Column.withField, which accepts dotted paths.
+
+    corrections: (doc_id, path, value[string]). Values are cast to the
+    target field's type (resolved by walking the struct schema). The
+    pre-correction struct is preserved in ``fields_original``. Paths into
+    array elements are out of scope here — per-item corrections go through
+    apply_corrections (item-keyed), matching the reference's split between
+    header-field and detail-item corrections.
+
+    Scale: the correction set pivots to one column per DISTINCT path and
+    broadcast-joins on doc_id — the fact table never shuffles.
+    """
+    paths = sorted(r["path"] for r in corrections.select("path").distinct().collect())
+    schema = results.schema[struct_col].dataType
+    types = {p: _field_type(schema, p) for p in paths}  # validate all up front
+    pivot = corrections.groupBy("doc_id").pivot("path", paths).agg(F.first("value"))
+    safe = {p: f"_corr_{i}" for i, p in enumerate(paths)}
+    for p, s in safe.items():
+        pivot = pivot.withColumnRenamed(p, s)
+    out = results.withColumn("fields_original", F.col(struct_col)).join(
+        F.broadcast(pivot), "doc_id", "left"
+    )
+    updated = F.col(struct_col)
+    for p in paths:
+        corr = F.col(safe[p]).cast(types[p])
+        updated = updated.withField(p, F.coalesce(corr, F.col(f"{struct_col}.{p}")))
+    return out.withColumn(struct_col, updated).drop(*safe.values())
+
+
 def feedback_matching_rows(detail_corrected: DataFrame) -> DataFrame:
     """feedback_matching fact rows: one per corrected item, carrying the
     (wrong suggestion, right answer) pair the matcher learns from

@@ -33,6 +33,7 @@ def run_previsacion(
     acuerdos: DataFrame,
     media_strategy: str = "join",
     practice_matcher: str = "auto",
+    tenant_id: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (visacion_previa, det_visacion_previa).
 
@@ -42,7 +43,26 @@ def run_previsacion(
     (zero extra shuffles — correct only while the dim fits driver/executor
     memory), 'join' is the broadcast-join path that scales to any dim size,
     'auto' (default) counts the agreements table and falls back to 'join'
-    above config.FAST_MATCH_MAX_AGREEMENTS rows."""
+    above config.FAST_MATCH_MAX_AGREEMENTS rows.
+
+    ``tenant_id`` (P1, reference matching.service.js:25-29 / migration_
+    multitenant.sql): when given, the whole run is scoped to ONE tenant —
+    docs AND every dimension are filtered up front, exactly like the
+    reference appending ``AND tenant_id = $n`` to each query. A tenant-a
+    document can never match a tenant-b provider/nomenclador/agreement.
+    Partition-prunable at scale when tables are partitioned by tenant."""
+    if tenant_id is not None:
+        if media_strategy == "denormalized":
+            # the media sidecar is not tenant-filtered; unioned media rows
+            # would resurrect other tenants' spans
+            raise ValueError(
+                "tenant_id scoping requires media_strategy 'join' or "
+                "'broadcast' (the denormalized sidecar is not tenant-scoped)"
+            )
+        docs = docs.filter(F.col("tenant_id") == tenant_id)
+        prestadores = prestadores.filter(F.col("tenant_id") == tenant_id)
+        nomencladores = nomencladores.filter(F.col("tenant_id") == tenant_id)
+        acuerdos = acuerdos.filter(F.col("tenant_id") == tenant_id)
     prest_e = matching.embed_prestadores(prestadores)
     nom_e = matching.embed_nomencladores(nomencladores)
 

@@ -119,3 +119,32 @@ def test_hmac_sha256_long_key(spark):
     df = spark.createDataFrame([("hello world",)], "m string")
     got = df.select(hmac_sha256(F.col("m"), secret).alias("h")).first()["h"]
     assert got == _hmac.new(secret.encode(), b"hello world", hashlib.sha256).hexdigest()
+
+
+def test_dot_path_corrections(spark):
+    """F20: nested dot-path corrections via withField; original preserved;
+    untouched docs and sibling fields unchanged; bad paths rejected."""
+    df = spark.createDataFrame(
+        [("d1", (("ana", 1), 5)), ("d2", (("luis", 2), 6))],
+        "doc_id string, fields struct<inner:struct<name:string,qty:int>, other:int>",
+    )
+    corr = spark.createDataFrame(
+        [("d1", "inner.qty", "7"), ("d1", "inner.name", "ana maria")],
+        "doc_id string, path string, value string",
+    )
+    out = fb.apply_dot_path_corrections(df, corr).toPandas().set_index("doc_id")
+    d1 = out.loc["d1", "fields"]
+    assert d1["inner"]["qty"] == 7 and d1["inner"]["name"] == "ana maria"
+    assert d1["other"] == 5  # sibling untouched
+    orig = out.loc["d1", "fields_original"]
+    assert orig["inner"]["qty"] == 1 and orig["inner"]["name"] == "ana"
+    d2 = out.loc["d2", "fields"]
+    assert d2["inner"]["qty"] == 2 and d2["inner"]["name"] == "luis"
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [("d1", "other.nope", "1")], "doc_id string, path string, value string"
+    )
+    with _pytest.raises(ValueError, match="not inside a struct"):
+        fb.apply_dot_path_corrections(df, bad)

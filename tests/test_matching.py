@@ -248,3 +248,52 @@ def test_auto_matcher_falls_back_to_join_path(spark, corpus_dir, monkeypatch):
     header, detail = previsacion.run_previsacion(docs, media, prest, nom, ac)
     assert calls == ["join"]
     assert detail.limit(1).count() >= 0  # plan executes
+
+
+def test_tenant_isolation(spark, corpus_dir):
+    """P1 multitenancy: a tenant-scoped run only processes that tenant's
+    docs and can only match that tenant's dimension rows
+    (matching.service.js:25-29, migration_multitenant.sql:32-137)."""
+    from medical_ocr_service_spark.corpus import generator
+    from medical_ocr_service_spark.plans import previsacion
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    prest, nom, ac = generator.dims_dataframes(spark)
+
+    header_a, detail_a = previsacion.run_previsacion(
+        docs, media, prest, nom, ac, tenant_id="tenant-a"
+    )
+    hp = header_a.toPandas()
+    n_docs_a = docs.filter(F.col("tenant_id") == "tenant-a").count()
+    assert len(hp) == n_docs_a > 0
+
+    a_prest = {
+        r["id_prestador"]
+        for r in prest.filter(F.col("tenant_id") == "tenant-a").collect()
+    }
+    b_prest = {
+        r["id_prestador"]
+        for r in prest.filter(F.col("tenant_id") == "tenant-b").collect()
+    }
+    matched = {int(x) for x in hp["prestador_id_sugerido"].dropna()}
+    assert matched, "tenant-a run matched no providers at all"
+    assert matched <= a_prest
+    assert not (matched & b_prest)
+
+    a_nom = {
+        r["id_nomenclador"]
+        for r in nom.filter(F.col("tenant_id") == "tenant-a").collect()
+    }
+    dp = detail_a.toPandas()
+    sugg = {int(x) for x in dp["nomenclador_id_sugerido"].dropna()}
+    assert sugg <= a_nom
+
+    # denormalized media cannot be tenant-scoped -> explicit refusal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tenant"):
+        previsacion.run_previsacion(
+            docs, media, prest, nom, ac,
+            media_strategy="denormalized", tenant_id="tenant-a",
+        )
