@@ -155,6 +155,32 @@ def layout_text_udf(layouts: pd.Series) -> pd.Series:
     )
 
 
+LAYOUT_ERR_TYPE = T.StructType(
+    [T.StructField("text", T.StringType()), T.StructField("error", T.StringType())]
+)
+
+
+@F.pandas_udf(LAYOUT_ERR_TYPE)
+def layout_text_err_udf(layouts: pd.Series) -> pd.DataFrame:
+    """Per-ROW failure capture (Q3 quarantine semantics,
+    /root/reference/src/services/job-queue.service.js:193-238): a malformed
+    layout payload must quarantine that document, not fail the Spark task.
+    Returns (text, error) — exactly one of the two is non-null."""
+    texts, errors = [], []
+    for lj in layouts:
+        if lj is None:
+            texts.append(None)
+            errors.append(None)
+            continue
+        try:
+            texts.append(_layout_one(lj))
+            errors.append(None)
+        except Exception as exc:  # noqa: BLE001 — row-level isolation
+            texts.append(None)
+            errors.append(f"{type(exc).__name__}: {exc}"[:500])
+    return pd.DataFrame({"text": texts, "error": errors}, index=layouts.index)
+
+
 # ---------------------------------------------------------------------------
 # Field extraction + confidence fold
 # ---------------------------------------------------------------------------

@@ -54,7 +54,10 @@ def exploded_spans(docs: DataFrame) -> DataFrame:
 
 
 def clean_spans(
-    docs: DataFrame, media: DataFrame, media_strategy: str = "join"
+    docs: DataFrame,
+    media: DataFrame,
+    media_strategy: str = "join",
+    with_errors: bool = False,
 ) -> DataFrame:
     """Per-span cleaned text: boilerplate-strip for text, XY-cut for media.
 
@@ -77,7 +80,13 @@ def clean_spans(
       Media rows are layout-parsed straight off their scan and unioned into
       the span stream; the groupBy(doc_id) exchange is the plan's ONLY
       shuffle and there is no broadcast build.
+
+    ``with_errors=True`` adds an ``_err`` column (Q3 quarantine): a media
+    span whose layout payload fails to parse carries the error string
+    instead of failing the task; text spans always have ``_err`` NULL.
     """
+    from ..functions.extraction_udfs import layout_text_err_udf
+
     spans = exploded_spans(docs)
 
     # JVM-native density strip (strip_boilerplate_col): the text-span branch
@@ -87,6 +96,14 @@ def clean_spans(
     text_part = spans.filter(F.col("kind") == "text").withColumn(
         "text", strip_boilerplate_col(F.col("text"))
     )
+    if with_errors:
+        text_part = text_part.withColumn("_err", F.lit(None).cast("string"))
+        layout = lambda c: layout_text_err_udf(c)  # noqa: E731
+    else:
+        layout = lambda c: F.struct(  # noqa: E731
+            layout_text_udf(c).alias("text"), F.lit(None).cast("string").alias("error")
+        )
+    cols = SPAN_COLS + (["_err"] if with_errors else [])
 
     if media_strategy == "denormalized":
         missing = {"doc_id", "offset"} - set(media.columns)
@@ -98,7 +115,7 @@ def clean_spans(
         media_part = media.select(
             "doc_id",
             F.lit("media").alias("kind"),
-            layout_text_udf(F.col("layout_json")).alias("text"),
+            layout(F.col("layout_json")).alias("_lt"),
             "media_ref",
             F.col("offset").cast("int").alias("offset"),
         )
@@ -111,11 +128,15 @@ def clean_spans(
             .drop("text")
             # 1:1 join; media_ref is unique on both sides.
             .join(media_dim, "media_ref", "left")
-            .withColumn("text", layout_text_udf(F.col("layout_json")))
+            .withColumn("_lt", layout(F.col("layout_json")))
             .drop("layout_json")
         )
+    media_part = media_part.withColumn("text", F.col("_lt.text"))
+    if with_errors:
+        media_part = media_part.withColumn("_err", F.col("_lt.error"))
+    media_part = media_part.drop("_lt")
 
-    return text_part.select(*SPAN_COLS).unionByName(media_part.select(*SPAN_COLS))
+    return text_part.select(*cols).unionByName(media_part.select(*cols))
 
 
 def ordered_spans(
@@ -146,6 +167,11 @@ def reassembled_docs(
     collect_list/shuffle order (SURVEY.md §7 hard parts).
     """
     cleaned = clean_spans(docs, media, media_strategy)
+    return _reassemble_cleaned(cleaned)
+
+
+def _reassemble_cleaned(cleaned: DataFrame) -> DataFrame:
+    """groupBy(doc_id) + sort_array reassembly of a cleaned span frame."""
     agg = cleaned.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -207,6 +233,39 @@ def extract_documents(
         "requiere_revision",
         F.col("fields.confianza_extraccion") < F.lit(config.REVIEW_THRESHOLD),
     )
+
+
+def extract_documents_quarantine(
+    docs: DataFrame,
+    media: DataFrame,
+    media_strategy: str = "join",
+) -> tuple[DataFrame, DataFrame]:
+    """Q3 (job-queue.service.js:193-238): extraction with per-row failure
+    isolation. Returns (results, quarantine):
+
+    * quarantine — one row per failed span: (doc_id, media_ref, error);
+      a malformed layout payload lands here instead of failing the task;
+    * results — extract_documents output for the documents with NO failed
+      span. Quarantined documents are withheld entirely, so a checkpointed
+      resume (CheckpointedExtraction) naturally retries them next run —
+      the Spark analogue of the reference's attempt counter + re-queue.
+    """
+    from .. import config
+
+    cleaned = clean_spans(docs, media, media_strategy, with_errors=True)
+    quarantine = cleaned.filter(F.col("_err").isNotNull()).select(
+        "doc_id", "media_ref", F.col("_err").alias("error")
+    )
+    ok = cleaned.drop("_err").join(
+        quarantine.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    assembled = _reassemble_cleaned(ok)
+    with_fields = assembled.withColumn("fields", extract_fields_udf(F.col("full_text")))
+    results = with_fields.withColumn(
+        "requiere_revision",
+        F.col("fields.confianza_extraccion") < F.lit(config.REVIEW_THRESHOLD),
+    )
+    return results, quarantine
 
 
 def reassembled_docs_salted(

@@ -38,6 +38,7 @@ class CheckpointedExtraction:
         self.output_path = output_path
         self.results_path = os.path.join(output_path, "results")
         self.lineage_path = os.path.join(output_path, "_lineage")
+        self.quarantine_path = os.path.join(output_path, "_quarantine")
 
     # -- state -------------------------------------------------------------
 
@@ -53,6 +54,28 @@ class CheckpointedExtraction:
             return docs
         return docs.join(done, "doc_id", "left_anti")
 
+    def quarantine_attempts(self, spark: SparkSession) -> DataFrame | None:
+        """(doc_id, intentos) from prior runs' quarantine appends."""
+        try:
+            q = spark.read.parquet(self.quarantine_path)
+        except Exception:
+            return None
+        return q.groupBy("doc_id").agg(
+            F.countDistinct("run_id").alias("intentos")
+        )
+
+    def failed_docs(self, spark: SparkSession, max_intentos: int = 3) -> DataFrame:
+        """Quarantine rollup (Q3, job-queue.service.js:193-238): per doc,
+        attempt count and state — FAILED once max_intentos is exhausted,
+        QUEUED (retry on next resume) below it."""
+        att = self.quarantine_attempts(spark)
+        if att is None:
+            return spark.createDataFrame([], "doc_id string, intentos long, estado string")
+        return att.withColumn(
+            "estado",
+            F.when(F.col("intentos") >= max_intentos, "FAILED").otherwise("QUEUED"),
+        )
+
     # -- run ---------------------------------------------------------------
 
     def run(
@@ -62,13 +85,22 @@ class CheckpointedExtraction:
         fail_on: str | None = None,
         media_strategy: str = "join",
         salted: bool = False,
+        quarantine: bool = False,
+        max_intentos: int = 3,
     ) -> dict:
         """Process pending docs, append results, write lineage. Returns the
         lineage record. `fail_on` (doc_id) injects a mid-run failure for
         crash-recovery tests. ``media_strategy`` as in extract.clean_spans;
         "denormalized" is refused on a RESUME — the pending filter applies
         to docs only, so unfiltered media rows would resurrect spans of
-        already-done documents."""
+        already-done documents.
+
+        ``quarantine=True`` (Q3): per-row failure isolation — documents with
+        an unparsable span are withheld from results and appended to the
+        quarantine table instead of failing the task; each resumed run
+        retries them (attempt = distinct run_id in quarantine) until
+        ``max_intentos``, after which they are excluded permanently
+        (failed_docs() reports estado FAILED)."""
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
         run_ts = time.time()
@@ -80,9 +112,23 @@ class CheckpointedExtraction:
             )
         pending = self.pending(docs)
 
-        result = extract.extract_documents(
-            pending, media, media_strategy=media_strategy, salted=salted
-        )
+        quarantine_df = None
+        if quarantine:
+            att = self.quarantine_attempts(spark)
+            if att is not None:
+                exhausted = att.filter(F.col("intentos") >= max_intentos).select(
+                    "doc_id"
+                )
+                pending = pending.join(
+                    F.broadcast(exhausted), "doc_id", "left_anti"
+                )
+            result, quarantine_df = extract.extract_documents_quarantine(
+                pending, media, media_strategy=media_strategy
+            )
+        else:
+            result = extract.extract_documents(
+                pending, media, media_strategy=media_strategy, salted=salted
+            )
         if fail_on is not None:
             # deterministic poison row -> task failure after partial work
             result = result.withColumn(
@@ -120,7 +166,23 @@ class CheckpointedExtraction:
         )
         flat.write.mode("append").parquet(self.results_path)
 
+        n_quarantined = 0
+        if quarantine_df is not None:
+            qrows = quarantine_df.withColumn("run_id", F.lit(run_id)).withColumn(
+                "run_ts", F.lit(run_ts)
+            )
+            qrows.write.mode("append").parquet(self.quarantine_path)
+            n_quarantined = (
+                spark.read.parquet(self.quarantine_path)
+                .filter(F.col("run_id") == run_id)
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+
         metrics = dict(obs.get)
+        if quarantine:
+            metrics["docs_quarantined"] = n_quarantined
         metrics.update(
             {
                 "run_id": run_id,

@@ -449,6 +449,29 @@ def p1_tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f10_base64_roundtrip",
+    """
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 48))) AS b64,
+           CAST(from_base64(base64(encode(substr(text, 1, 48)))) AS VARCHAR) = substr(text, 1, 48) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def f10_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S7/F10 (previsacion.worker.js:34-40, image.service.js:69):
+    base64 encode/decode of payload bytes — built-in, now exercised with an
+    oracle (both engines use unwrapped RFC 4648)."""
+    d = _t(spark, sf_dir, "documents")
+    chunk = F.substring("text", 1, 48)
+    b64 = F.base64(chunk.cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.unbase64(b64).cast("string") == chunk).alias("roundtrip_ok"),
+    )
+
+
+@query(
     "p6_time_window_filter",
     """
     SELECT event_type, COUNT(*) AS n FROM events

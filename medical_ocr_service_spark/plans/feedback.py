@@ -198,6 +198,56 @@ def build_training_dataset(
     return newest.select("doc_id", messages.alias("jsonl"))
 
 
+PRECISION_FIELDS = [
+    "paciente_nombre",
+    "paciente_ci",
+    "medico_matricula",
+    "diagnostico_codigo_cie",
+    "practicas",
+]
+
+
+def precision_metrics(header_validated: DataFrame, corrections: DataFrame) -> DataFrame:
+    """metricas_precision analogue (reference database/schema_matching.sql:
+    381-398): per-field extraction precision over VALIDATED documents.
+
+    precision(campo) = 1 - (docs with a correction on campo / validated docs).
+    corrections: (doc_id, campo, ...) — one row per corrected field instance;
+    duplicates per (doc_id, campo) collapse. Output:
+    (campo, n_validados, n_corregidos, precision)."""
+    validated = header_validated.filter(
+        F.col("estado").isin("APROBADA", "RECHAZADA")
+    )
+    base = validated.agg(F.count("*").alias("n_validados"))
+    corr = (
+        corrections.filter(F.col("campo").isin(*PRECISION_FIELDS))
+        .dropDuplicates(["doc_id", "campo"])
+        .groupBy("campo")
+        .agg(F.count("*").alias("n_corregidos"))
+    )
+    fields_df = validated.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(f) for f in PRECISION_FIELDS])).alias("campo")
+    )
+    return (
+        fields_df.crossJoin(F.broadcast(base))
+        .join(F.broadcast(corr), "campo", "left")
+        .select(
+            "campo",
+            "n_validados",
+            F.coalesce("n_corregidos", F.lit(0)).alias("n_corregidos"),
+            F.when(
+                F.col("n_validados") > 0,
+                F.round(
+                    1.0
+                    - F.coalesce("n_corregidos", F.lit(0))
+                    / F.col("n_validados").cast("double"),
+                    4,
+                ),
+            ).alias("precision"),
+        )
+    )
+
+
 def webhook_outbox(header: DataFrame, secret: str = "whsec_demo") -> DataFrame:
     """S12 outbox rows: event name by state, JSON payload, real HMAC-SHA256
     signature (webhook.service.js:63,116 crypto.createHmac parity), retry

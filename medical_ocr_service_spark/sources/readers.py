@@ -39,39 +39,111 @@ def read_csv_with_aliases(
     return df.withColumnsRenamed(renames)
 
 
+def _xlsx_local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xlsx_cell_col(ref: str) -> int:
+    """'BC12' -> 0-based column index (54)."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _read_xlsx_rows(path: str) -> list[list[str | None]]:
+    """Minimal pure-stdlib xlsx reader (zipfile + ElementTree): first
+    worksheet, shared strings resolved, RICH TEXT runs flattened by
+    concatenating their <t> fragments (the reference's rich-text
+    flattening, data-ingest.routes.js:588-794), inline strings and raw
+    numeric <v> values passed through as text."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root:
+                if _xlsx_local(si.tag) != "si":
+                    continue
+                shared.append(
+                    "".join(
+                        t.text or ""
+                        for t in si.iter()
+                        if _xlsx_local(t.tag) == "t"
+                    )
+                )
+        sheet_name = next(
+            (
+                n
+                for n in sorted(names)
+                if n.startswith("xl/worksheets/") and n.endswith(".xml")
+            ),
+            None,
+        )
+        if sheet_name is None:
+            raise ValueError(f"{path}: no worksheet found in xlsx archive")
+        root = ET.fromstring(z.read(sheet_name))
+
+    rows: list[list[str | None]] = []
+    for row in root.iter():
+        if _xlsx_local(row.tag) != "row":
+            continue
+        cells: list[str | None] = []
+        for c in row:
+            if _xlsx_local(c.tag) != "c":
+                continue
+            idx = _xlsx_cell_col(c.get("r", ""))
+            if idx < 0:
+                idx = len(cells)
+            while len(cells) <= idx:
+                cells.append(None)
+            ctype = c.get("t", "n")
+            val: str | None = None
+            if ctype == "inlineStr":
+                val = "".join(
+                    t.text or "" for t in c.iter() if _xlsx_local(t.tag) == "t"
+                )
+            else:
+                v = next((x for x in c if _xlsx_local(x.tag) == "v"), None)
+                if v is not None and v.text is not None:
+                    val = (
+                        shared[int(v.text)]
+                        if ctype == "s"
+                        else v.text
+                    )
+            cells[idx] = val
+        rows.append(cells)
+    width = max((len(r) for r in rows), default=0)
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
 def read_excel_with_aliases(
     spark: SparkSession, path: str, alias_map: dict[str, str]
 ) -> DataFrame:
     """S3/S4 xlsx half (data-ingest.routes.js:487-574; cargar_datos_excel.py):
-    read an Excel sheet via pandas, apply the same alias column map as the
-    CSV path, return a string-typed DataFrame.
-
-    Gated: xlsx engines (openpyxl) are not installed in this container, so
-    the call raises NotImplementedError with a clear message unless one is
-    available — the CSV path (read_csv_with_aliases) is the tested surface.
-    """
-    import pandas as _pd
-
-    try:
-        pdf = _pd.read_excel(path, dtype=str)
-    except ImportError as exc:  # no openpyxl/xlrd in this environment
-        raise NotImplementedError(
-            "Excel import needs an xlsx engine (openpyxl); not available in "
-            "this environment — convert to CSV and use read_csv_with_aliases"
-        ) from exc
-    cols = [alias_map.get(_norm_header(c), _norm_header(c)) for c in pdf.columns]
+    read the first Excel worksheet with a pure-stdlib parser (xlsx is a zip
+    of XML — no engine dependency), apply the same alias column map as the
+    CSV path, return a string-typed DataFrame. Rich-text headers/cells are
+    flattened; duplicate post-alias headers are a hard error; an empty
+    sheet yields an empty DataFrame with an explicit schema (inference
+    would fail)."""
+    rows = _read_xlsx_rows(path)
+    header = [h if h is not None else "" for h in (rows[0] if rows else [])]
+    cols = [alias_map.get(_norm_header(c), _norm_header(c)) for c in header]
     dupes = sorted({c for c in cols if cols.count(c) > 1})
     if dupes:
         raise ValueError(
             f"duplicate column names after alias normalization: {dupes}"
         )
-    pdf.columns = cols
-    # Explicit all-string schema: schema inference fails on an empty sheet,
-    # and the reference's Excel path is stringly-typed anyway (S3/S4).
     schema = ", ".join(f"`{c}` string" for c in cols) or "`_empty` string"
-    return spark.createDataFrame(
-        pdf.where(_pd.notna(pdf), None).astype(object), schema=schema
-    )
+    data = [tuple(r[: len(cols)]) for r in rows[1:]]
+    return spark.createDataFrame(data, schema=schema)
 
 
 def with_global_row_index(

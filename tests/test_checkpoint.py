@@ -131,3 +131,56 @@ def test_denormalized_refused_on_resume(spark, loaded, tmp_path):
     ck.run(docs, media, media_strategy="denormalized")
     with _pytest.raises(ValueError, match="denormalized"):
         ck.run(docs, media, media_strategy="denormalized")
+
+
+def test_quarantine_retry_and_permanent_failure(spark, loaded, tmp_path):
+    """Q3 (job-queue.service.js:193-238): an unparsable span quarantines its
+    document (task does NOT fail), resume retries it, and after max_intentos
+    the doc is excluded permanently with estado FAILED."""
+    docs, media = loaded
+    # find a doc that actually has a media span, then corrupt its payloads
+    victim = media.select("doc_id").first()["doc_id"]
+    bad_media = media.withColumn(
+        "layout_json",
+        F.when(F.col("doc_id") == victim, F.lit("{not json")).otherwise(
+            F.col("layout_json")
+        ),
+    )
+    ck = CheckpointedExtraction(str(tmp_path / "q"))
+
+    m1 = ck.run(docs, bad_media, quarantine=True, max_intentos=2)
+    n = docs.count()
+    assert m1["docs_quarantined"] == 1
+    assert m1["docs_processed"] == n - 1
+    results = ck.results(spark)
+    assert results.filter(F.col("doc_id") == victim).count() == 0
+    fd = ck.failed_docs(spark, max_intentos=2).toPandas().set_index("doc_id")
+    assert fd.loc[victim, "intentos"] == 1 and fd.loc[victim, "estado"] == "QUEUED"
+
+    # retry still failing -> attempts exhausted -> FAILED
+    m2 = ck.run(docs, bad_media, quarantine=True, max_intentos=2)
+    assert m2["docs_quarantined"] == 1 and m2["docs_processed"] == 0
+    fd = ck.failed_docs(spark, max_intentos=2).toPandas().set_index("doc_id")
+    assert fd.loc[victim, "intentos"] == 2 and fd.loc[victim, "estado"] == "FAILED"
+
+    # exhausted doc is excluded permanently — even though still pending
+    m3 = ck.run(docs, bad_media, quarantine=True, max_intentos=2)
+    assert m3["docs_quarantined"] == 0 and m3["docs_processed"] == 0
+
+
+def test_quarantine_recovers_after_fix(spark, loaded, tmp_path):
+    """A quarantined doc whose payload is fixed before exhaustion is
+    extracted on the next resume."""
+    docs, media = loaded
+    victim = media.select("doc_id").first()["doc_id"]
+    bad_media = media.withColumn(
+        "layout_json",
+        F.when(F.col("doc_id") == victim, F.lit("broken")).otherwise(
+            F.col("layout_json")
+        ),
+    )
+    ck = CheckpointedExtraction(str(tmp_path / "q2"))
+    ck.run(docs, bad_media, quarantine=True, max_intentos=3)
+    m2 = ck.run(docs, media, quarantine=True, max_intentos=3)  # payload fixed
+    assert m2["docs_processed"] == 1 and m2["docs_quarantined"] == 0
+    assert ck.results(spark).filter(F.col("doc_id") == victim).count() == 1

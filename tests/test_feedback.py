@@ -148,3 +148,27 @@ def test_dot_path_corrections(spark):
     )
     with _pytest.raises(ValueError, match="not inside a struct"):
         fb.apply_dot_path_corrections(df, bad)
+
+
+def test_precision_metrics(spark, header):
+    """metricas_precision analogue: per-field precision over validated docs."""
+    fdbk = spark.createDataFrame(
+        [("d1", "APROBAR", None), ("d2", "RECHAZAR", "mala"), ("d4", "APROBAR", None)],
+        "doc_id string, accion string, motivo string",
+    )
+    validated = fb.apply_feedback(header, fdbk)  # d1,d2,d4 newly + d3 already
+    corr = spark.createDataFrame(
+        [("d1", "paciente_ci", "111", "222"),
+         ("d1", "paciente_ci", "111", "333"),  # dup (doc,campo) collapses
+         ("d2", "medico_matricula", "44444", "55555"),
+         ("d2", "campo_desconocido", "x", "y")],  # outside tracked fields
+        "doc_id string, campo string, valor_original string, valor_corregido string",
+    )
+    out = fb.precision_metrics(validated, corr).toPandas().set_index("campo")
+    assert set(out.index) == set(fb.PRECISION_FIELDS)
+    assert (out["n_validados"] == 4).all()  # d1,d2,d3,d4
+    assert out.loc["paciente_ci", "n_corregidos"] == 1
+    assert out.loc["paciente_ci", "precision"] == 0.75
+    assert out.loc["medico_matricula", "precision"] == 0.75
+    assert out.loc["practicas", "n_corregidos"] == 0
+    assert out.loc["practicas", "precision"] == 1.0

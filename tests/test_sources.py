@@ -172,24 +172,95 @@ def test_package_zip_contains_modules(tmp_path):
         assert mod in names
 
 
-def test_read_excel_gated(spark, tmp_path):
-    """xlsx import is cleanly gated when no Excel engine is installed (S3/S4
-    parity surface; CSV is the tested path in this container)."""
-    import pytest as _pytest
+NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
 
-    import io
+
+def _write_xlsx(path, shared_xml, sheet_xml):
     import zipfile
 
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as z:
-        z.writestr("xl/workbook.xml", "<workbook/>")
-    p = str(tmp_path / "x.xlsx")
-    open(p, "wb").write(buf.getvalue())
-    try:
-        import openpyxl  # noqa: F401
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", f"<workbook {NS}/>")
+        if shared_xml is not None:
+            z.writestr("xl/sharedStrings.xml", shared_xml)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
 
-        _pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        pass
-    with _pytest.raises(NotImplementedError, match="xlsx engine"):
-        readers.read_excel_with_aliases(spark, p, {})
+
+def test_read_excel_with_aliases(spark, tmp_path):
+    """S3/S4 xlsx import via the pure-stdlib parser: shared strings,
+    RICH TEXT flattening, inline strings, numeric cells, sparse rows."""
+    shared = f"""<sst {NS} count="3" uniqueCount="3">
+      <si><t>Codigo Externo</t></si>
+      <si><r><t>DESCRIP</t></r><r><t>CION</t></r></si>
+      <si><t>Hemograma</t></si>
+    </sst>"""
+    sheet = f"""<worksheet {NS}><sheetData>
+      <row r="1">
+        <c r="A1" t="s"><v>0</v></c>
+        <c r="B1" t="s"><v>1</v></c>
+        <c r="C1" t="inlineStr"><is><t>Grupo X</t></is></c>
+      </row>
+      <row r="2">
+        <c r="A2" t="inlineStr"><is><t>A1</t></is></c>
+        <c r="B2" t="s"><v>2</v></c>
+        <c r="C2"><v>7</v></c>
+      </row>
+      <row r="3">
+        <c r="A3" t="inlineStr"><is><t>A2</t></is></c>
+        <c r="C3"><v>9.5</v></c>
+      </row>
+    </sheetData></worksheet>"""
+    p = str(tmp_path / "masters.xlsx")
+    _write_xlsx(p, shared, sheet)
+    alias = {"codigo_externo": "id_externo", "descripcion": "descripcion"}
+    df = readers.read_excel_with_aliases(spark, p, alias)
+    assert df.columns == ["id_externo", "descripcion", "grupo_x"]
+    out = df.toPandas().set_index("id_externo")
+    assert out.loc["A1", "descripcion"] == "Hemograma"
+    assert out.loc["A1", "grupo_x"] == "7"
+    assert out.loc["A2", "descripcion"] is None  # sparse cell -> NULL
+    assert out.loc["A2", "grupo_x"] == "9.5"
+
+
+def test_read_excel_empty_and_duplicate_headers(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = str(tmp_path / "empty.xlsx")
+    _write_xlsx(empty, None, f"<worksheet {NS}><sheetData/></worksheet>")
+    df = readers.read_excel_with_aliases(spark, empty, {})
+    assert df.count() == 0  # empty sheet: no inference crash
+
+    dup_sheet = f"""<worksheet {NS}><sheetData>
+      <row r="1">
+        <c r="A1" t="inlineStr"><is><t>Codigo</t></is></c>
+        <c r="B1" t="inlineStr"><is><t>CODIGO</t></is></c>
+      </row>
+    </sheetData></worksheet>"""
+    dup = str(tmp_path / "dup.xlsx")
+    _write_xlsx(dup, None, dup_sheet)
+    with _pytest.raises(ValueError, match="duplicate column names"):
+        readers.read_excel_with_aliases(spark, dup, {})
+
+
+def test_merge_into_sql_parses_and_mirrors_upsert(spark):
+    """S8 production path: the emitted Iceberg MERGE INTO statement parses
+    under Spark's SQL parser and carries the same clause semantics as
+    coalesce_upsert (COALESCE per non-key column, xxhash64 surrogate id)."""
+    from medical_ocr_service_spark.operators.upsert import merge_into_sql
+
+    sql = merge_into_sql(
+        "cat.db.prestadores", "staging_prestadores",
+        keys=["id_externo", "tenant_id"],
+        columns=["id_externo", "tenant_id", "id_prestador", "ruc", "nombre_fantasia"],
+        surrogate_id="id_prestador",
+    )
+    # parses as a single MERGE statement (no execution — no Iceberg here)
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "MergeIntoTable" in plan.toString()
+    assert "t.ruc = coalesce(s.ruc, t.ruc)" in sql
+    assert "abs(xxhash64(s.id_externo, s.tenant_id))" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    # key columns are never COALESCE-updated
+    assert "t.id_externo = coalesce" not in sql
+    # surrogate id is inserted, not updated
+    assert "t.id_prestador = coalesce" not in sql
