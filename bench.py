@@ -193,17 +193,19 @@ def _extract_worker(master_cores: int, docs_path: str, media_path: str) -> dict:
     #     materialization barrier cost ~10% wall and buys nothing here.
     #     (AQE stays ON in the library session defaults: joins/aggs over
     #     unknown data still want runtime re-planning + skew splitting.)
-    #   * shuffle partitions = 8 waves/core: event-log analysis showed the
-    #     last-wave straggler tail costs ~12% of stage wall at 3 waves on
-    #     the 4N leg vs ~2% on the 20-wave N leg — the main scaling sink.
-    #     8 waves/core equalizes the tail fraction across parallelism levels.
+    #   * shuffle partitions = 3 waves/core, 3m splits: measured A/B at 16
+    #     cores — finer tasks (1m splits / 8 waves) were consistently ~15%
+    #     SLOWER despite the smaller last-wave tail; per-task overhead
+    #     (scheduling, parquet footers, shuffle segments) dominates at this
+    #     job size. The wave-tail hypothesis from the event-log analysis
+    #     did not survive the experiment; 3x/3m is the measured optimum.
     spark = get_spark(
         app_name=f"bench-extract-{master_cores}",
         master=f"local[{master_cores}]",
-        shuffle_partitions=8 * master_cores,
+        shuffle_partitions=3 * master_cores,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.maxPartitionBytes": "3m",
         },
     )
     try:

@@ -23,7 +23,6 @@ from __future__ import annotations
 import json
 import re
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -101,36 +100,43 @@ def strip_boilerplate_col(text: F.Column) -> F.Column:
 # XY-cut layout reading order
 # ---------------------------------------------------------------------------
 
-def _xy_groups(idx: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> list[np.ndarray] | None:
-    """Split block indices into groups separated by gaps >= XY_CUT_MIN_GAP."""
-    order = np.lexsort((hi[idx], lo[idx]))
-    s = idx[order]
-    groups: list[list[int]] = [[s[0]]]
-    cur_max = hi[s[0]]
+# Blocks travel as tuples (x0, y0, x1, y1, text). Pure-Python sorts beat
+# numpy here by ~5x: pages have 2-7 blocks, so per-call ndarray construction
+# and lexsort overhead dwarfed the actual work (measured 54us -> ~10us per
+# layout; the layout UDF is the extraction pipeline's main Python CPU).
+# Semantics identical to the numpy version (stable sorts, same keys) —
+# golden XY-cut equality tests gate this.
+
+
+def _xy_groups(blocks: list, lo: int, hi: int) -> list[list] | None:
+    """Split blocks into groups separated by gaps >= XY_CUT_MIN_GAP along
+    the (lo, hi) coordinate pair (1,3)=y or (0,2)=x."""
+    s = sorted(blocks, key=lambda b: (b[lo], b[hi]))
+    groups: list[list] = [[s[0]]]
+    cur_max = s[0][hi]
     for b in s[1:]:
-        if lo[b] - cur_max >= config.XY_CUT_MIN_GAP:
+        if b[lo] - cur_max >= config.XY_CUT_MIN_GAP:
             groups.append([b])
-            cur_max = hi[b]
+            cur_max = b[hi]
         else:
             groups[-1].append(b)
-            cur_max = max(cur_max, hi[b])
+            cur_max = max(cur_max, b[hi])
     if len(groups) < 2:
         return None
-    return [np.array(g) for g in groups]
+    return groups
 
 
-def _xy_cut(idx, x0, y0, x1, y1) -> list[int]:
-    if len(idx) <= 1:
-        return list(idx)
-    groups = _xy_groups(idx, y0, y1)
+def _xy_cut(blocks: list) -> list:
+    if len(blocks) <= 1:
+        return blocks
+    groups = _xy_groups(blocks, 1, 3)
     if groups is None:
-        groups = _xy_groups(idx, x0, x1)
+        groups = _xy_groups(blocks, 0, 2)
     if groups is None:
-        order = np.lexsort((x0[idx], y0[idx]))
-        return list(idx[order])
-    out: list[int] = []
+        return sorted(blocks, key=lambda b: (b[1], b[0]))
+    out: list = []
     for g in groups:
-        out.extend(_xy_cut(g, x0, y0, x1, y1))
+        out.extend(_xy_cut(g))
     return out
 
 
@@ -138,12 +144,9 @@ def _layout_one(layout_json: str) -> str:
     blocks = json.loads(layout_json).get("blocks", [])
     if not blocks:
         return ""
-    x0 = np.array([b["x0"] for b in blocks])
-    y0 = np.array([b["y0"] for b in blocks])
-    x1 = np.array([b["x1"] for b in blocks])
-    y1 = np.array([b["y1"] for b in blocks])
-    order = _xy_cut(np.arange(len(blocks)), x0, y0, x1, y1)
-    return _WS.sub(" ", " ".join(blocks[i].get("text", "") for i in order)).strip()
+    tb = [(b["x0"], b["y0"], b["x1"], b["y1"], b.get("text", "")) for b in blocks]
+    order = _xy_cut(tb)
+    return _WS.sub(" ", " ".join(b[4] for b in order)).strip()
 
 
 @F.pandas_udf(T.StringType())

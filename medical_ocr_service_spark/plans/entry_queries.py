@@ -449,6 +449,51 @@ def p1_tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d4_boilerplate_strip",
+    """
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><head><title>x</title></head><body>' || chr(10) ||
+             '<nav><a href="/a"><span>Inicio</span></a><a href="/b"><span>Salir</span></a></nav>' || chr(10) ||
+             '<p>' || text || '</p>' || chr(10) ||
+             '<footer><a href="/t">legal</a><span>(c)</span></footer>' AS raw
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             list_transform(string_split(raw, chr(10)), l -> struct_pack(
+               visible := trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+               tags := len(string_split_regex(l, '<[A-Za-z/!][^>]*>')) - 1)) AS ls
+      FROM wrapped)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(ls, s -> s.visible <> '' AND length(s.visible) / (s.tags + 1.0) >= 10.0),
+               s -> s.visible), ' ') AS main_text
+    FROM lines
+    """,
+)
+def d4_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY D4 — THE deterministic replacement for the reference's vision
+    OCR read: text-density + tag-ratio boilerplate strip, here driven
+    through an oracle by wrapping each document's text in deterministic
+    nav/footer boilerplate in BOTH engines and stripping it back out. The
+    DuckDB twin replays the per-line density scorer with the same
+    higher-order list functions the Spark expression uses."""
+    from ..functions.extraction_udfs import strip_boilerplate_col
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<html><head><title>x</title></head><body>\n"),
+        F.lit('<nav><a href="/a"><span>Inicio</span></a><a href="/b"><span>Salir</span></a></nav>\n'),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>\n"),
+        F.lit('<footer><a href="/t">legal</a><span>(c)</span></footer>'),
+    )
+    return d.select("doc_id", strip_boilerplate_col(raw).alias("main_text"))
+
+
+@query(
     "f10_base64_roundtrip",
     """
     SELECT doc_id,
