@@ -23,8 +23,11 @@ Scale design (10^12 docs / 100 TB):
     bounded (10^3 pathological), so per-key state is tiny; AQE skew-join
     handles stragglers. Reassembly to arrays uses
     sort_array(collect_list(struct(offset, ...))) — NEVER shuffle order;
-  * all per-span text work is Arrow pandas UDFs, everything else is
-    whole-stage-codegen column expressions.
+  * text-span cleaning is pure whole-stage-codegen column expressions
+    (strip_boilerplate_col — no Python at all on that branch); the only
+    Arrow pandas UDFs left are the XY-cut layout parse (recursive) and the
+    per-doc field extraction (many-regex-per-row, measured faster in
+    compiled re than as a catalyst expression tree).
 
 Reference parity: replaces the GPT-4o Vision + pdftoppm worker loop
 (/root/reference/src/workers/previsacion.worker.js:18-227) with deterministic
@@ -136,7 +139,12 @@ def clean_spans(
         media_part = media_part.withColumn("_err", F.col("_lt.error"))
     media_part = media_part.drop("_lt")
 
-    return text_part.select(*cols).unionByName(media_part.select(*cols))
+    # media branch FIRST: a union stage schedules partitions in branch
+    # order, and the media tasks are the slow (Python layout-parse) ones —
+    # starting them first fills the stage tail with short JVM text tasks
+    # instead of stragglers (LPT scheduling). Row order is irrelevant:
+    # reassembly sorts by offset.
+    return media_part.select(*cols).unionByName(text_part.select(*cols))
 
 
 def ordered_spans(

@@ -302,3 +302,40 @@ def test_extract_fields_col_equals_udf(spark, loaded):
     for _, r in out.iterrows():
         u, c = _plain(r["u"]), _plain(r["c"])
         assert u == c, (r["doc_id"], u, c)
+
+
+def test_prescan_literals_sound_and_complete():
+    """The literal-prescan gate must be SOUND (regex match => literal
+    present, else fields would silently vanish) and COMPLETE (every config
+    pattern has a prescan entry)."""
+    from medical_ocr_service_spark import config
+    from medical_ocr_service_spark.corpus import generator, golden
+    from medical_ocr_service_spark.functions import extraction_udfs as eu
+
+    for p in config.MATRICULA_PATTERNS:
+        assert p in eu._PRESCAN_LITERALS
+    for p, _ in config.NARRATIVE_PRACTICE_PATTERNS:
+        assert p in eu._PRESCAN_LITERALS
+
+    docs, media = generator.synthesize_corpus(500, seed=7)  # different seed
+    results = golden.extract_corpus(docs, media)
+    crafted = [
+        "se pide RADIOTERAPIA urgente", "indico rt y tac",
+        "Video  Endoscopia Digestiva Alta", "videoendoscopia digestiva alta ya",
+        "ECO abdominal", "ecodoppler carotideo", "KINESIOTERAPIA motora",
+        "TC de torax", "Matrícula Profesional: 4567", "MAT.: 7777",
+        "REG PROF 8888", "URGENTE STAT", "EMERGENCIA inmediato",
+        "qtx ciclos", "QT adyuvante", "Bx de piel", "VCC programada",
+        "RX y RMN", "EKG de control",
+    ]
+    texts = [r["full_text"] for r in results] + crafted
+    for t in texts:
+        tl = t.lower()
+        for rx, lits in eu._MATRICULA_BANK:
+            if lits and rx.search(t):
+                assert any(li in tl for li in lits), (t[:60], rx.pattern)
+        for rx, _name, lits in eu._NARRATIVE_BANK:
+            if rx.search(t):
+                assert any(li in tl for li in lits), (t[:60], rx.pattern)
+        if eu._URGENCY.search(t):
+            assert any(k in tl for k in eu._URGENCY_LITERALS), t[:60]
