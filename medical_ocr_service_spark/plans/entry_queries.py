@@ -494,6 +494,101 @@ def d4_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f4_matricula_validity",
+    """
+    SELECT c_custkey,
+           substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1,
+                  CAST(c_custkey % 12 AS INT) + 1) AS matricula,
+           length(substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1,
+                         CAST(c_custkey % 12 AS INT) + 1))
+             BETWEEN 4 AND 8 AS matricula_valida
+    FROM customer
+    """,
+)
+def f4_matricula_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F4 (validation.service.js:158-162): digit-strip + 4-8 length
+    validity gate, lengths varied via a key-derived prefix of the digits."""
+    from ..functions.text import digits_only, matricula_valida
+
+    c = _t(spark, sf_dir, "customer")
+    mat = F.substring(
+        digits_only(F.col("c_name")), F.lit(1), (F.col("c_custkey") % 12).cast("int") + 1
+    )
+    return c.select(
+        "c_custkey",
+        mat.alias("matricula"),
+        matricula_valida(mat).alias("matricula_valida"),
+    )
+
+
+@query(
+    "a12_confidence_fold",
+    """
+    SELECT o_orderkey,
+           ROUND(LEAST(1.0,
+             0.7 * ((CASE WHEN o_custkey IS NOT NULL THEN 2.0 ELSE 0.0 END
+                   + CASE WHEN o_totalprice > 100000 THEN 2.0 ELSE 0.0 END
+                   + CASE WHEN o_orderpriority = '1-URGENT' THEN 1.5 ELSE 0.0 END
+                   + CASE WHEN o_orderdate IS NOT NULL THEN 1.0 ELSE 0.0 END
+                   + CASE WHEN o_orderstatus = 'P' THEN 0.5 ELSE 0.0 END
+                   + CASE WHEN o_orderpriority = '5-LOW' THEN 0.5 ELSE 0.0 END
+                   + CASE WHEN o_orderstatus = 'F' THEN 3.0 ELSE 0.0 END) / 10.5)
+             + 0.3 * 0.8), 2) AS confianza
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def a12_confidence_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A12 (gpt-vision.service.js:209-243): the weighted-checklist
+    confidence fold (weights 2/2/1.5/1/0.5/0.5/3, 0.7/0.3 blend, clamp,
+    2dp) as pure column arithmetic — driven through an oracle on orders
+    columns standing in for the extraction checklist."""
+    o = _t(spark, sf_dir, "orders")
+    got = (
+        F.when(F.col("o_custkey").isNotNull(), 2.0).otherwise(0.0)
+        + F.when(F.col("o_totalprice") > 100000, 2.0).otherwise(0.0)
+        + F.when(F.col("o_orderpriority") == "1-URGENT", 1.5).otherwise(0.0)
+        + F.when(F.col("o_orderdate").isNotNull(), 1.0).otherwise(0.0)
+        + F.when(F.col("o_orderstatus") == "P", 0.5).otherwise(0.0)
+        + F.when(F.col("o_orderpriority") == "5-LOW", 0.5).otherwise(0.0)
+        + F.when(F.col("o_orderstatus") == "F", 3.0).otherwise(0.0)
+    )
+    conf = F.round(F.least(F.lit(1.0), 0.7 * (got / 10.5) + 0.3 * 0.8), 2)
+    return (
+        o.select("o_orderkey", conf.alias("confianza"))
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "f22_cost_model",
+    """
+    SELECT o_orderkey,
+           ROUND(CAST(o_orderkey % 5000 AS DOUBLE) / 1000 * 0.005
+                 + CAST(o_orderkey % 3000 AS DOUBLE) / 1000 * 0.015, 6) AS cost_usd
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def f22_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F22 (ai.service.js:178-195): token cost model — prompt/
+    completion token counts derived from the key for determinism."""
+    from ..functions.text import cost_usd
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            cost_usd(
+                (F.col("o_orderkey") % 5000).cast("double"),
+                (F.col("o_orderkey") % 3000).cast("double"),
+            ).alias("cost_usd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
     "f10_base64_roundtrip",
     """
     SELECT doc_id,
