@@ -44,6 +44,14 @@ def main() -> None:
         "full-corpus run)",
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="per-row failure isolation (Q3): unparsable docs land in the "
+        "_quarantine table instead of failing the job; resumed runs retry "
+        "them up to --max-intentos",
+    )
+    ap.add_argument("--max-intentos", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -67,7 +75,12 @@ def main() -> None:
     media = spark.read.parquet(args.media)
     ck = CheckpointedExtraction(args.output)
     metrics = ck.run(
-        docs, media, media_strategy=args.media_strategy, salted=args.salted
+        docs,
+        media,
+        media_strategy=args.media_strategy,
+        salted=args.salted,
+        quarantine=args.quarantine,
+        max_intentos=args.max_intentos,
     )
     print(json.dumps(metrics, default=str))
     spark.stop()
