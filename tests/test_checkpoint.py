@@ -184,3 +184,59 @@ def test_quarantine_recovers_after_fix(spark, loaded, tmp_path):
     m2 = ck.run(docs, media, quarantine=True, max_intentos=3)  # payload fixed
     assert m2["docs_processed"] == 1 and m2["docs_quarantined"] == 0
     assert ck.results(spark).filter(F.col("doc_id") == victim).count() == 1
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    """Watermarked tumbling windows (A8 streaming analogue): an event
+    arriving after the watermark passed its window is DROPPED; finalized
+    windows emit exactly once in append mode."""
+    import time as _time
+
+    from medical_ocr_service_spark.streaming.pipeline import windowed_event_counts
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("2024-01-01 10:00:30", "click", 1.0),
+         ("2024-01-01 10:05:00", "click", 2.0),
+         ("2024-01-01 11:00:00", "view", 1.0)],  # advances watermark
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .parquet(str(src / "f*"))
+        )
+        agg = windowed_event_counts(
+            stream, window="10 minutes", watermark="10 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(tmp_path / "win_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: advances the watermark to 10:50 (11:00 - 10m)
+    run_once()
+    _time.sleep(0.2)
+    b2 = spark.createDataFrame(
+        [("2024-01-01 10:06:00", "click", 4.0),   # LATE: watermark is 10:50
+         ("2024-01-01 11:05:00", "view", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    # batch 2: restarts from the checkpoint (watermark persisted), only f2
+    run_once()
+    out = spark.read.parquet(str(tmp_path / "win_out")).toPandas()
+    clicks = out[out["event_type"] == "click"]
+    # the 10:00-10:10 click window finalized with ONLY batch-1 events —
+    # the late 10:06 event was dropped by the watermark
+    assert len(clicks) == 1
+    assert clicks.iloc[0]["n"] == 2
+    assert clicks.iloc[0]["sum_value"] == 3.0
