@@ -198,6 +198,27 @@ def build_training_dataset(
     return newest.select("doc_id", messages.alias("jsonl"))
 
 
+def should_trigger_training(
+    unconsumed: DataFrame,
+    threshold: int = 50,
+    min_interval_h: float = 24.0,
+    last_run_ts: float | None = None,
+    now_ts: float | None = None,
+) -> tuple[bool, int]:
+    """Q7 (reference src/services/auto-training.service.js:10-42): the daily
+    scheduled auto-training check — fire when AT LEAST ``threshold``
+    unconsumed validated examples exist AND at least ``min_interval_h``
+    hours passed since the last run. Returns (should_run, n_examples).
+    ``now_ts`` injectable for deterministic tests; counting happens on the
+    anti-joined unconsumed set (build_training_dataset's J11 input)."""
+    import time as _time
+
+    n = unconsumed.count()
+    now = _time.time() if now_ts is None else now_ts
+    due = last_run_ts is None or (now - last_run_ts) >= min_interval_h * 3600
+    return (bool(n >= threshold and due), n)
+
+
 PRECISION_FIELDS = [
     "paciente_nombre",
     "paciente_ci",

@@ -58,3 +58,32 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def run_in_pool(spark: SparkSession, pool: str):
+    """Q2 priority scheduling (reference src/services/job-queue.service.js:
+    169-191: previsacion jobs before embedding jobs, bounded concurrency).
+
+    Spark-native equivalent: FAIR scheduler pools — jobs submitted while a
+    pool is active share the cluster by pool weight instead of FIFO, so a
+    long embedding backfill cannot starve interactive previsacion work.
+    Requires ``spark.scheduler.mode=FAIR`` on the session (pass via
+    get_spark extra_conf); the pool is a thread-local property, hence the
+    context manager.
+
+        with run_in_pool(spark, "previsacion"):
+            header.write...
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        sc = spark.sparkContext
+        prev = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+        try:
+            yield
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev)
+
+    return _ctx()

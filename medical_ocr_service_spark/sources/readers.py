@@ -215,6 +215,67 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     ).text(path)
 
 
+def fetch_url_payloads(
+    df: DataFrame, url_col: str, out_col: str = "payload"
+) -> DataFrame:
+    """S6 URL-fetcher source (reference src/controllers/pre-visacion.
+    controller.js:68-146: axios download of archivo_url -> temp file).
+
+    Resolves a URL column to binary payloads executor-side via mapInPandas
+    (fetches are batched and distributed, never driver-side). Schemes
+    supported in this sandbox: ``file://`` (local/NFS read) and
+    ``data:[mime];base64,`` (inline payloads). ``http(s)`` rows are
+    environment-gated — no network egress here — and land in the
+    ``fetch_error`` side column instead of failing the task (per-row
+    isolation, same contract as the Q3 quarantine)."""
+    import base64 as _b64
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    fields = df.schema.fields
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errors = [], []
+            for u in pdf[url_col]:
+                try:
+                    if u is None:
+                        payloads.append(None)
+                        errors.append("NULL_URL")
+                    elif u.startswith("file://"):
+                        with open(u[len("file://"):], "rb") as f:
+                            payloads.append(f.read())
+                        errors.append(None)
+                    elif u.startswith("data:"):
+                        head, _, body = u.partition(",")
+                        if not head.endswith(";base64"):
+                            raise ValueError("only base64 data: URIs")
+                        payloads.append(_b64.b64decode(body))
+                        errors.append(None)
+                    elif u.startswith(("http://", "https://")):
+                        payloads.append(None)
+                        errors.append(
+                            "SCHEME_GATED: no network egress in this "
+                            "environment (http/https)"
+                        )
+                    else:
+                        payloads.append(None)
+                        errors.append(f"UNSUPPORTED_SCHEME: {u.split(':', 1)[0]}")
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
+                    payloads.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}"[:300])
+            out = pdf.copy()
+            out[out_col] = payloads
+            out["fetch_error"] = errors
+            yield out
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    ) + f", `{out_col}` binary, `fetch_error` string"
+    return df.mapInPandas(run, schema=schema)
+
+
 def binary_file_source(
     spark: SparkSession,
     path: str,

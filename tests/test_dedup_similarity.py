@@ -205,3 +205,64 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|decoding"):
         multimodal.decode_features(media, fake=False).collect()
+
+
+def test_bmp_decode_encode_roundtrip_and_resize(spark):
+    import numpy as np
+
+    from medical_ocr_service_spark.operators import multimodal as mm
+
+    payload = mm.gradient_bmp(257, 123, seed=3)  # odd width exercises stride pad
+    w, h, arr = mm.decode_bmp(payload)
+    assert (w, h) == (257, 123) and arr.shape == (123, 257, 3)
+    # encode/decode roundtrip is pixel-exact
+    w2, h2, arr2 = mm.decode_bmp(mm.encode_bmp(arr))
+    assert (w2, h2) == (w, h) and np.array_equal(arr, arr2)
+    small = mm.resize_nearest(arr, 64, 32)
+    assert small.shape == (32, 64, 3)
+    # corners preserved by nearest-neighbor
+    assert np.array_equal(small[0, 0], arr[0, 0])
+
+
+def test_real_bmp_features_and_metadata_check(spark):
+    from medical_ocr_service_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, 60)
+    bmp = media.filter("mime = 'image/bmp'")
+    assert bmp.count() > 0
+    # REAL decode path works without fake=True
+    feats = mm.decode_features(bmp, fake=False).toPandas()
+    assert feats["valid"].all()
+    assert feats["feat"].map(len).eq(16).all()
+    # features reflect actual pixels: all in [0,1], dims scaled in slots 0-1
+    assert feats["feat"].map(lambda f: all(0 <= x <= 1 for x in f)).all()
+
+    # lying metadata is caught against the decoded raster
+    lied = bmp.limit(1).withColumn("width", F.lit(9999))
+    out = mm.decode_features(lied, fake=False).toPandas()
+    assert not out.iloc[0]["valid"]
+    assert out.iloc[0]["error"] == "METADATA_DIMENSION_MISMATCH"
+
+
+def test_compress_images_shrinks_oversized_bmp(spark):
+    from medical_ocr_service_spark.operators import multimodal as mm
+
+    big = mm.gradient_bmp(1200, 900, seed=1)  # ~3.2 MB raster
+    media = spark.createDataFrame(
+        [("big", "image", "image/bmp", big, 1200, 900, None),
+         ("ok", "image", "image/bmp", mm.gradient_bmp(200, 200, 2), 200, 200, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = (
+        mm.compress_images(media, max_bytes=1_000_000)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert len(out.loc["big", "payload"]) <= 1_000_000
+    assert out.loc["big", "width"] == 600 and out.loc["big", "height"] == 450
+    w, h, _ = mm.decode_bmp(bytes(out.loc["big", "payload"]))
+    assert (w, h) == (600, 450)
+    # under-threshold image untouched
+    assert out.loc["ok", "width"] == 200 and len(out.loc["ok", "payload"]) == len(
+        mm.gradient_bmp(200, 200, 2)
+    )

@@ -172,3 +172,24 @@ def test_precision_metrics(spark, header):
     assert out.loc["medico_matricula", "precision"] == 0.75
     assert out.loc["practicas", "n_corregidos"] == 0
     assert out.loc["practicas", "precision"] == 1.0
+
+
+def test_should_trigger_training(spark):
+    """Q7: >= threshold unconsumed examples AND >= min interval elapsed."""
+    ex = spark.range(60).selectExpr("CAST(id AS STRING) AS doc_id")
+    now = 1_700_000_000.0
+    fire, n = fb.should_trigger_training(ex, threshold=50, now_ts=now)
+    assert fire and n == 60
+    # below threshold -> no
+    fire, n = fb.should_trigger_training(ex.limit(10), threshold=50, now_ts=now)
+    assert not fire and n == 10
+    # ran 1h ago -> too soon
+    fire, _ = fb.should_trigger_training(
+        ex, threshold=50, last_run_ts=now - 3600, now_ts=now
+    )
+    assert not fire
+    # ran 25h ago -> due again
+    fire, _ = fb.should_trigger_training(
+        ex, threshold=50, last_run_ts=now - 25 * 3600, now_ts=now
+    )
+    assert fire

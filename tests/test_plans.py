@@ -139,3 +139,19 @@ def test_topk_matching_broadcasts_agreements(spark, corpus_dir):
     header, detail = previsacion.run_previsacion(docs, media, prest, nom, ac)
     plan = _plan(detail)
     assert "BroadcastHashJoin" in plan
+
+
+def test_run_in_pool_sets_and_restores(spark):
+    """Q2: the FAIR-pool context manager scopes the scheduler pool to the
+    block and restores the previous value."""
+    from medical_ocr_service_spark.session import run_in_pool
+
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+    with run_in_pool(spark, "previsacion"):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "previsacion"
+        with run_in_pool(spark, "embedding"):
+            assert sc.getLocalProperty("spark.scheduler.pool") == "embedding"
+        assert sc.getLocalProperty("spark.scheduler.pool") == "previsacion"
+        spark.range(10).count()  # a job actually runs inside the pool
+    assert sc.getLocalProperty("spark.scheduler.pool") is None

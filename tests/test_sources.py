@@ -264,3 +264,31 @@ def test_merge_into_sql_parses_and_mirrors_upsert(spark):
     assert "t.id_externo = coalesce" not in sql
     # surrogate id is inserted, not updated
     assert "t.id_prestador = coalesce" not in sql
+
+
+def test_fetch_url_payloads(spark, tmp_path):
+    """S6: file:// and base64 data: URIs resolve executor-side; http is
+    environment-gated into the error column; bad paths are row-isolated."""
+    import base64
+
+    p = tmp_path / "doc.bin"
+    p.write_bytes(b"\x01\x02payload")
+    b64 = base64.b64encode(b"inline bytes").decode()
+    df = spark.createDataFrame(
+        [("a", f"file://{p}"),
+         ("b", f"data:application/pdf;base64,{b64}"),
+         ("c", "https://example.invalid/x.pdf"),
+         ("d", "file:///nonexistent/path.bin"),
+         ("e", None)],
+        "id string, archivo_url string",
+    )
+    from medical_ocr_service_spark.sources.readers import fetch_url_payloads
+
+    out = fetch_url_payloads(df, "archivo_url").toPandas().set_index("id")
+    assert bytes(out.loc["a", "payload"]) == b"\x01\x02payload"
+    assert out.loc["a", "fetch_error"] is None
+    assert bytes(out.loc["b", "payload"]) == b"inline bytes"
+    assert out.loc["c", "payload"] is None
+    assert "SCHEME_GATED" in out.loc["c", "fetch_error"]
+    assert "FileNotFoundError" in out.loc["d", "fetch_error"]
+    assert out.loc["e", "fetch_error"] == "NULL_URL"
