@@ -54,11 +54,13 @@ def trigram_similarity(a: str | None, b: str | None) -> float:
 
 
 @functools.lru_cache(maxsize=1 << 17)
-def _gram_index_sign(gram: str) -> tuple[int, float]:
-    # memoized: pure function of the gram (md5 is deterministic), and the
-    # gram vocabulary of a corpus is tiny relative to the call count
+def _gram_index_sign(gram: str, dim: int = config.EMBEDDING_DIM) -> tuple[int, float]:
+    # memoized: pure function of (gram, dim) — md5 is deterministic and the
+    # gram vocabulary of a corpus is tiny relative to the call count. dim is
+    # part of the cache key: hardcoding it made embed_text(dim=1536)
+    # silently bucket mod 64 (caught by the 1536-d generalization test).
     h = int.from_bytes(hashlib.md5(gram.encode("utf-8")).digest()[:8], "big")
-    idx = h % config.EMBEDDING_DIM
+    idx = h % dim
     sign = 1.0 if (h >> 32) & 1 else -1.0
     return idx, sign
 
@@ -75,7 +77,7 @@ def embed_text(s: str | None, dim: int = config.EMBEDDING_DIM) -> list[float]:
         return v.tolist()
     grams = [t[i : i + 3] for i in range(max(1, len(t) - 2))]
     for g in grams:
-        idx, sign = _gram_index_sign(g)
+        idx, sign = _gram_index_sign(g, dim)
         v[idx] += sign
     n = float(np.linalg.norm(v))
     if n > 0:

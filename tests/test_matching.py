@@ -297,3 +297,26 @@ def test_tenant_isolation(spark, corpus_dir):
             docs, media, prest, nom, ac,
             media_strategy="denormalized", tenant_id="tenant-a",
         )
+
+
+def test_embed_generalizes_to_1536d():
+    """D10: the deterministic vectorizer generalizes to the reference's
+    1536-d width (embedding.service.js text-embedding-3-small) — dim is a
+    parameter, buckets actually span the full width, vectors stay unit-norm
+    and deterministic."""
+    import numpy as np
+
+    from medical_ocr_service_spark.functions import similarity as sim
+
+    texts = ["hemograma completo", "ecografia abdominal total", "radioterapia"]
+    M = sim.embed_matrix(texts, dim=1536)
+    assert M.shape == (3, 1536)
+    np.testing.assert_allclose(np.linalg.norm(M, axis=1), 1.0, rtol=1e-9)
+    # buckets beyond index 64 must be populated (regression: dim was
+    # hardcoded inside the memoized gram hash)
+    assert (np.abs(M[:, 64:]) > 0).any()
+    # deterministic across calls
+    np.testing.assert_array_equal(M, sim.embed_matrix(texts, dim=1536))
+    # different dims give different (non-trivial) spaces, same text similar
+    M64 = sim.embed_matrix(texts, dim=64)
+    assert M64.shape == (3, 64)
