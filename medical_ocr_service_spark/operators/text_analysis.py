@@ -91,6 +91,59 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (training-data filtering):
+
+    * dup_word_fraction   — 1 - distinct/total words (word-level repetition);
+    * dup_bigram_fraction — 1 - distinct/total word bigrams;
+    * symbol_word_ratio   — non-alphanumeric symbol count / word count.
+
+    All per-row higher-order array functions — no shuffle, no Python."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    nb = F.size(bigrams)
+    symbols = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    return df.select(
+        "*",
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)) / n.cast("double"), 6
+        ).alias("dup_word_fraction"),
+        F.round(
+            1.0 - F.size(F.array_distinct(bigrams)) / nb.cast("double"), 6
+        ).alias("dup_bigram_fraction"),
+        F.round(symbols / F.greatest(n, F.lit(1)).cast("double"), 6).alias(
+            "symbol_word_ratio"
+        ),
+    )
+
+
+PII_PATTERNS = {
+    # pattern dialect kept to the RE2/Java common subset (char classes +
+    # quantifiers) so the DuckDB oracle uses the same strings verbatim
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{2,4}([- ][0-9]{2,7}){1,2}",
+    "dotted_id": r"[0-9]{1,3}\.[0-9]{3}\.[0-9]{3}",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Training-data PII scrub: emails / phone numbers / dotted national ids
+    replaced by typed placeholders, with per-category match counts. Pure
+    JVM (regexp_replace + regexp_count) — no UDFs, fully pushdown-safe."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("text_scrubbed", scrubbed)
+
+
 def fingerprint(text: Column, window: int = 8) -> Column:
     """Document fingerprint: min hash over token windows (winnowing-lite) —
     stable under whitespace changes, JVM-only.

@@ -449,6 +449,88 @@ def p1_tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, text
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks, text,
+             list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                            i -> concat(toks[i+1], ' ', toks[i+2])) AS bigrams
+      FROM t)
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS dup_word_fraction,
+           round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+             AS dup_bigram_fraction,
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS symbol_word_ratio
+    FROM b
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op (Gopher-style repetition filters): duplicate
+    word/bigram fractions + symbol-to-word ratio, per-row HOFs only."""
+    from ..operators.text_analysis import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d, "text").select(
+        "doc_id", "dup_word_fraction", "dup_bigram_fraction", "symbol_word_ratio"
+    )
+
+
+def _pii_oracle() -> str:
+    from ..operators.text_analysis import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in PII_PATTERNS.items()
+    )
+    scrub = "pii_text"
+    for n, p in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{n.upper()}>', 'g')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             concat(substr(text, 1, 40),
+                    ' contacto: user', CAST(doc_id AS VARCHAR), '@mail.example.com',
+                    ' tel: +595 21-', CAST(100000 + doc_id AS VARCHAR),
+                    ' ci: ', CAST(1 + doc_id % 9 AS VARCHAR), '.234.567') AS pii_text
+      FROM documents)
+    SELECT doc_id,
+           {counts},
+           {scrub} AS text_scrubbed
+    FROM w
+    """
+
+
+@query("pii_scrub", _pii_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: PII scrubbing (emails/phones/dotted ids ->
+    typed placeholders + per-category counts), pure JVM regex. The query
+    plants deterministic PII into each document identically in both
+    engines, then scrubs it back out."""
+    from ..operators.text_analysis import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contacto: user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.lit(" tel: +595 21-"), (F.col("doc_id") + 100000).cast("string"),
+            F.lit(" ci: "), (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit(".234.567"),
+        ).alias("pii_text"),
+    )
+    return scrub_pii(planted, "pii_text").select(
+        "doc_id", "n_email", "n_phone", "n_dotted_id", "text_scrubbed"
+    )
+
+
+@query(
     "d4_boilerplate_strip",
     """
     WITH wrapped AS (

@@ -266,3 +266,34 @@ def test_compress_images_shrinks_oversized_bmp(spark):
     assert out.loc["ok", "width"] == 200 and len(out.loc["ok", "payload"]) == len(
         mm.gradient_bmp(200, 200, 2)
     )
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all words here are fully distinct tokens")],
+        "doc_id long, text string",
+    )
+    out = (
+        text_analysis.repetition_features(df, "text").toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "dup_word_fraction"] > 0.8
+    assert out.loc[1, "dup_bigram_fraction"] > 0.7
+    assert out.loc[2, "dup_word_fraction"] == 0.0
+    assert out.loc[2, "dup_bigram_fraction"] == 0.0
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "escribir a juan.perez@clinica.com.py o al +595 21-555123, CI 1.234.567"),
+         (2, "sin datos personales aqui")],
+        "doc_id long, text string",
+    )
+    out = text_analysis.scrub_pii(df, "text").toPandas().set_index("doc_id")
+    s = out.loc[1, "text_scrubbed"]
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<DOTTED_ID>" in s
+    assert "juan.perez" not in s and "555123" not in s and "1.234.567" not in s
+    assert out.loc[1, "n_email"] == 1
+    assert out.loc[1, "n_phone"] == 1
+    assert out.loc[1, "n_dotted_id"] == 1
+    assert out.loc[2, "n_email"] == 0 and out.loc[2, "text_scrubbed"] == df.toPandas().set_index("doc_id").loc[2, "text"]
