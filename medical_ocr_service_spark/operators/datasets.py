@@ -1,0 +1,123 @@
+"""Training-dataset assembly operators (beyond the reference's surface —
+the operations a large-scale LLM training-data pipeline needs on top of
+extraction/dedup/quality).
+
+All JVM-side, all deterministic, all DuckDB-oracle-replayable:
+
+  * hash_split      — train/val/test assignment from an md5-derived uniform
+    (no RNG state: the same row lands in the same split on every run,
+    every cluster size, and in the SQL oracle);
+  * pack_contiguous — contiguous sequence packing: shard-local cumulative
+    token counts folded into ~budget-sized bins (window cumsum partitioned
+    by shard => parallel, no global sort);
+  * contamination_pairs — train-vs-benchmark n-gram overlap detection
+    (decontamination): docs sharing >= min_overlap distinct shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+HASH_DENOM = float(1 << 32)
+
+
+def uniform_from_key(key) -> F.Column:
+    """md5-derived uniform in [0, 1): first 8 hex chars as a 32-bit int over
+    2^32 — bit-identical in Spark and DuckDB (('0x'||substr(md5(k),1,8))
+    ::BIGINT / 4294967296.0)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(
+        HASH_DENOM
+    )
+
+
+def hash_split(
+    df: DataFrame, key_col: str, fractions: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic dataset split: adds `split_u` (the uniform) and `split`
+    (label by cumulative fraction boundaries). Unlike randomSplit, the
+    assignment is a pure function of the key — stable across runs, resumes,
+    and cluster sizes, and joinable (a doc can never leak between train and
+    test on a rerun)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    u = uniform_from_key(F.col(key_col))
+    expr = None
+    acc = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        acc += frac
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(labels[-1][0])
+        if expr is None
+        else expr.otherwise(labels[-1][0])
+    )
+    return df.withColumn("split_u", F.round(u, 9)).withColumn("split", expr)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Contiguous sequence packing for training batches: rows are sharded by
+    an md5 hash of the id (deterministic), ordered by id within the shard,
+    and binned where the running token total crosses `budget` multiples.
+    Output adds (shard, bin) — a pack is (shard, bin).
+
+    Scale: the window is PARTITIONED by shard (n_shards reducers, no global
+    sort, no single-partition exchange); at 10^12 docs raise n_shards to
+    ~cores*waves. A document larger than `budget` occupies its own bin(s) —
+    contiguous packing never splits a document."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col)), 1, 8), 16, 10).cast("long")
+        % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("shard", shard)
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return out.withColumn(
+        "bin", F.floor(cum_before / F.lit(float(budget))).cast("long")
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, bench_id, n_shared) for pairs
+    sharing >= min_overlap DISTINCT word k-shingles — the standard n-gram
+    contamination test run before training.
+
+    Scale: explode-join on the shingle (inner equi-join; the benchmark side
+    is small by construction, so it broadcasts), then a counting groupBy —
+    no cross join anywhere."""
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return (
+        t.join(F.broadcast(b), "sh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

@@ -449,6 +449,97 @@ def p1_tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hash_split_train_val_test",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS uu
+      FROM documents)
+    SELECT doc_id, round(uu, 9) AS split_u,
+           CASE WHEN uu < 0.8 THEN 'train'
+                WHEN uu < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def hash_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: deterministic md5-hash train/val/test split — a
+    pure function of the key (stable across runs/resumes/cluster sizes,
+    unlike randomSplit), replayed exactly by the oracle."""
+    from ..operators.datasets import hash_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("doc_key")
+    )
+    return hash_split(d, "doc_key").select("doc_id", "split_u", "split")
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+                  PARTITION BY shard ORDER BY CAST(doc_id AS VARCHAR)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4096.0) AS BIGINT) AS bin
+    FROM s
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: contiguous sequence packing — shard-local running
+    token totals folded into ~4096-token bins; the window is partitioned by
+    shard (parallel, no global sort)."""
+    from ..operators.datasets import pack_contiguous
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").cast("string").alias("doc_key"), "n_chars"
+    )
+    return pack_contiguous(
+        d, "doc_key", "n_chars", budget=4096, n_shards=8
+    ).select("doc_id", "shard", "bin")
+
+
+@query(
+    "contamination_check",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 5, 0) + 1),
+               i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))) AS shingles
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)),
+    tr AS (SELECT doc_id AS train_id, unnest(shingles) AS s
+           FROM sh WHERE doc_id % 50 <> 0),
+    be AS (SELECT doc_id AS bench_id, unnest(shingles) AS s
+           FROM sh WHERE doc_id % 50 = 0)
+    SELECT train_id, bench_id, CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared
+    FROM tr JOIN be ON tr.s = be.s
+    GROUP BY train_id, bench_id
+    HAVING COUNT(DISTINCT tr.s) >= 3
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: benchmark decontamination — train docs sharing >=3
+    distinct 5-shingles with a held-out benchmark slice (doc_id % 50 = 0
+    stands in for the benchmark set). Explode-join + counting groupBy; the
+    benchmark side broadcasts."""
+    from ..operators.datasets import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(
+        train, bench, "text", "doc_id", shingle_k=5, min_overlap=3
+    )
+
+
+@query(
     "repetition_quality",
     """
     WITH t AS (

@@ -297,3 +297,42 @@ def test_scrub_pii(spark):
     assert out.loc[1, "n_phone"] == 1
     assert out.loc[1, "n_dotted_id"] == 1
     assert out.loc[2, "n_email"] == 0 and out.loc[2, "text_scrubbed"] == df.toPandas().set_index("doc_id").loc[2, "text"]
+
+
+def test_dataset_ops(spark):
+    """hash_split determinism + boundaries; pack_contiguous bin budgets;
+    contamination pairs on crafted overlap."""
+    from medical_ocr_service_spark.operators import datasets as ds
+
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS k", "id")
+    s1 = ds.hash_split(df, "k").toPandas()
+    s2 = ds.hash_split(df, "k").toPandas()
+    assert (s1.sort_values("k")["split"].values == s2.sort_values("k")["split"].values).all()
+    frac = s1["split"].value_counts(normalize=True)
+    assert 0.72 < frac["train"] < 0.88 and frac["test"] < 0.18
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        ds.hash_split(df, "k", {"a": 0.5, "b": 0.4})
+
+    toks = spark.range(200).selectExpr("CAST(id AS STRING) AS k", "50 AS n_tok")
+    packed = ds.pack_contiguous(toks, "k", "n_tok", budget=200, n_shards=4).toPandas()
+    # each bin holds floor(200/50)=4 docs except possibly the last per shard
+    sizes = packed.groupby(["shard", "bin"]).size()
+    assert (sizes <= 4).all() and (sizes == 4).sum() > 0
+    # bins are contiguous 0..max per shard
+    for sh, grp in packed.groupby("shard"):
+        assert sorted(grp["bin"].unique()) == list(range(grp["bin"].max() + 1))
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally unrelated words in this training document here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta questionnaire answer")],
+        "doc_id long, text string",
+    )
+    pairs = ds.contamination_pairs(train, bench, min_overlap=2).toPandas()
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["train_id"] == 1 and pairs.iloc[0]["bench_id"] == 100
