@@ -129,6 +129,10 @@ MIN_SIMILARITY_NOM = 0.30   # candidate floor (matching.service.js:44 vector thr
 # agreement rows (~40 MB of dict at 200 B/entry); larger dims take the
 # broadcast-join path, which scales to any size.
 FAST_MATCH_MAX_AGREEMENTS = 200_000
+# Hard cap on any driver-side dimension collect (closure-broadcast pattern):
+# beyond this the matcher raises instead of silently OOMing the driver —
+# shard the dim or use the ANN operators.
+MAX_BROADCAST_DIM_ROWS = 2_000_000
 
 # ---------------------------------------------------------------------------
 # Corpus synthesis (seed-fixed; no external data)

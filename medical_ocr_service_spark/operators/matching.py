@@ -181,12 +181,29 @@ def make_topk_udf(
     return topk_udf
 
 
+def _guarded_collect(df: DataFrame, what: str) -> list:
+    """Collect a dimension with a loud size cap: fetching cap+1 rows via
+    limit() costs no extra job, and blowing past the cap raises a clear
+    error instead of a silent driver OOM. Oversized dims should be sharded
+    by tenant/especialidad or served by the ANN operators
+    (operators/similarity_search) instead of the closure matmul."""
+    cap = config.MAX_BROADCAST_DIM_ROWS
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: dimension exceeds MAX_BROADCAST_DIM_ROWS={cap}; "
+            "shard the dimension or use the ANN search operators"
+        )
+    return rows
+
+
 def _collect_nomenclador_space(nom_embedded: DataFrame) -> tuple[list, list, list]:
     """Active nomencladores -> (ids, descripciones, embedding texts).
 
     Deterministic order (id ascending). Driver-side collect is by design:
-    the dimension is the broadcast side (SURVEY §4 — replaces IVFFlat)."""
-    rows = (
+    the dimension is the broadcast side (SURVEY §4 — replaces IVFFlat);
+    _guarded_collect enforces the fits-in-memory contract loudly."""
+    rows = _guarded_collect(
         nom_embedded.filter(F.col("estado") == "ACTIVO")
         .select(
             "id_nomenclador",
@@ -200,8 +217,8 @@ def _collect_nomenclador_space(nom_embedded: DataFrame) -> tuple[list, list, lis
                 F.array_join("palabras_clave", " "),
             ).alias("etext"),
         )
-        .orderBy("id_nomenclador")
-        .collect()
+        .orderBy("id_nomenclador"),
+        "nomenclador candidate space",
     )
     return (
         [r["id_nomenclador"] for r in rows],
@@ -263,8 +280,8 @@ def match_prestador(
         "left",
     ).drop("_p_mat")
 
-    # fuzzy fallback over active prestadores
-    rows = (
+    # fuzzy fallback over active prestadores (guarded closure broadcast)
+    rows = _guarded_collect(
         activo.select(
             "id_prestador",
             "nombre_fantasia",
@@ -272,8 +289,8 @@ def match_prestador(
                 " ", "nombre_fantasia", "raz_soc_nombre", "registro_profesional", "tipo"
             ).alias("etext"),
         )
-        .orderBy("id_prestador")
-        .collect()
+        .orderBy("id_prestador"),
+        "prestador fuzzy space",
     )
     fuzzy_udf = make_topk_udf(
         [r["id_prestador"] for r in rows],
@@ -469,13 +486,12 @@ def match_practices_fast(
     ids, descs, etexts = _collect_nomenclador_space(nom_embedded)
     score_series = make_topk_scorer(ids, descs, etexts, k=config.TOPK_NOMENCLADOR)
 
-    ag_rows = (
-        latest_agreements(acuerdos)
-        .select(
+    ag_rows = _guarded_collect(
+        latest_agreements(acuerdos).select(
             "id_nomenclador", "prest_id_prestador", "plan_id_plan",
             "id_acuerdo", "precio",
-        )
-        .collect()
+        ),
+        "latest agreements (fast matcher)",
     )
     # SQL-join NULL semantics: a NULL key component never matches, but a
     # Python dict happily equates None keys — drop any agreement row with a

@@ -320,3 +320,20 @@ def test_embed_generalizes_to_1536d():
     # different dims give different (non-trivial) spaces, same text similar
     M64 = sim.embed_matrix(texts, dim=64)
     assert M64.shape == (3, 64)
+
+
+def test_dim_collect_guard(spark, monkeypatch):
+    """Driver-side dimension collects fail LOUDLY past the configured cap
+    (instead of a silent driver OOM)."""
+    from medical_ocr_service_spark import config
+    from medical_ocr_service_spark.operators import matching
+
+    nom = spark.createDataFrame(
+        [(i, "LAB", f"practica {i}", "p", "G", "S", [], [], "ACTIVO") for i in range(5)],
+        "id_nomenclador int, especialidad string, descripcion string, "
+        "desc_nomenclador string, grupo string, subgrupo string, "
+        "sinonimos array<string>, palabras_clave array<string>, estado string",
+    )
+    monkeypatch.setattr(config, "MAX_BROADCAST_DIM_ROWS", 3)
+    with pytest.raises(ValueError, match="MAX_BROADCAST_DIM_ROWS"):
+        matching._collect_nomenclador_space(matching.embed_nomencladores(nom))
