@@ -449,6 +449,47 @@ def p1_tenant_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "length_percentiles",
+    """
+    SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents
+    """,
+)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics: exact interpolated length percentiles (the
+    distribution numbers a data pipeline reports before filtering). Spark
+    `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    definition; 6dp rounding absorbs FP op-order differences."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        *[
+            F.round(F.percentile("n_chars", F.lit(p)), 6).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@query(
+    "length_histogram",
+    """
+    SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 10) AS bucket,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics: fixed-width length histogram (200-char buckets,
+    top-coded at bucket 10) — plain arithmetic bucketing, map-side
+    combined."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200.0), F.lit(10)).cast("long")
+    return d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@query(
     "hash_split_train_val_test",
     """
     WITH u AS (
