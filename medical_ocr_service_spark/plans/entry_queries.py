@@ -1817,6 +1817,136 @@ def lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "extraction_golden_equality",
+    """
+    SELECT CAST(0 AS BIGINT) AS span_mismatches,
+           CAST(300 AS BIGINT) AS docs,
+           CAST(1 AS BIGINT) AS pathological_docs
+    """,
+)
+def extraction_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule gate as a DRIVER-CHECKED query: run the full
+    distributed extraction over the synthesized interleaved corpus, compare
+    its ordered (doc_id, order, kind, text, media_ref) span sequences
+    against the pure-Python golden extractor with a two-way exceptAll, and
+    return the mismatch count. The oracle is the expected constant —
+    span_mismatches MUST be 0 — so any drift in strip/XY-cut/reassembly
+    hash-fails the correctness gate, not just pytest."""
+    import __spark_entry__ as entry_mod
+
+    from ..corpus import generator, golden
+    from ..operators import extract
+
+    docs_df, media_df = entry_mod._interleaved_corpus(spark, n_docs=300)
+    docs, media = generator.synthesize_corpus(300)
+    grows = [
+        (r["doc_id"], s["order"], s["kind"], s["text"], s["media_ref"])
+        for r in golden.extract_corpus(docs, media)
+        for s in r["spans"]
+    ]
+    g = spark.createDataFrame(
+        grows, "doc_id string, order int, kind string, text string, media_ref string"
+    )
+    ours = extract.ordered_spans(docs_df, media_df).select(
+        "doc_id", "order", "kind", "text", "media_ref"
+    )
+    diff = ours.exceptAll(g).unionByName(g.exceptAll(ours))
+    mism = diff.agg(F.count("*").alias("span_mismatches"))
+    ndocs = ours.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.countDistinct(
+            F.when(F.col("order") > 900, F.col("doc_id"))
+        ).alias("pathological_docs"),
+    )
+    return mism.crossJoin(ndocs)
+
+
+@query(
+    "previsacion_golden_equality",
+    """
+    SELECT CAST(0 AS BIGINT) AS header_mismatches,
+           CAST(0 AS BIGINT) AS detail_mismatches,
+           CAST(300 AS BIGINT) AS headers
+    """,
+)
+def previsacion_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 end-to-end as a DRIVER-CHECKED query: the full pre-visación
+    pipeline (extraction + provider cascade + practice matching + agreement
+    pick-best) compared row-for-row against the pure-Python GoldenMatcher
+    on the canonical scalar projections; the oracle is the expected
+    zero-mismatch constant."""
+    import __spark_entry__ as entry_mod
+
+    from ..corpus import generator, golden
+    from ..corpus.golden_matching import GoldenMatcher
+    from ..plans import previsacion
+
+    docs_df, media_df = entry_mod._interleaved_corpus(spark, n_docs=300)
+    prest, nom, ac = generator.dims_dataframes(spark)
+    header, detail = previsacion.run_previsacion(docs_df, media_df, prest, nom, ac)
+
+    docs, media = generator.synthesize_corpus(300)
+    matcher = GoldenMatcher(generator.synthesize_dimensions())
+    out = [matcher.previsacion(g) for g in golden.extract_corpus(docs, media)]
+
+    h_proj = [
+        "doc_id", "paciente_ci", "prestador_id_sugerido", "n_practicas",
+        "confianza_general", "estado",
+    ]
+    gh = spark.createDataFrame(
+        [
+            (
+                o["header"]["doc_id"],
+                o["header"]["paciente_ci"],
+                o["header"]["prestador_id_sugerido"],
+                int(o["header"]["n_practicas"]),
+                float(o["header"]["confianza_general"]),
+                o["header"]["estado"],
+            )
+            for o in out
+        ],
+        "doc_id string, paciente_ci string, prestador_id_sugerido int, "
+        "n_practicas int, confianza_general double, estado string",
+    )
+    sh = header.select(
+        "doc_id", "paciente_ci",
+        F.col("prestador_id_sugerido").cast("int").alias("prestador_id_sugerido"),
+        F.col("n_practicas").cast("int").alias("n_practicas"),
+        F.col("confianza_general").cast("double").alias("confianza_general"),
+        "estado",
+    )
+    hdiff = sh.exceptAll(gh).unionByName(gh.exceptAll(sh))
+
+    gd = spark.createDataFrame(
+        [
+            (
+                d["doc_id"], int(d["item"]), d["nomenclador_id_sugerido"],
+                d["similitud"], bool(d["tiene_acuerdo"]), d["id_acuerdo"],
+            )
+            for o in out
+            for d in o["details"]
+        ],
+        "doc_id string, item int, nomenclador_id_sugerido int, "
+        "similitud double, tiene_acuerdo boolean, id_acuerdo int",
+    )
+    sd = detail.select(
+        "doc_id",
+        F.col("item").cast("int").alias("item"),
+        F.col("nomenclador_id_sugerido").cast("int").alias("nomenclador_id_sugerido"),
+        F.col("similitud").cast("double").alias("similitud"),
+        "tiene_acuerdo",
+        F.col("id_acuerdo").cast("int").alias("id_acuerdo"),
+    )
+    ddiff = sd.exceptAll(gd).unionByName(gd.exceptAll(sd))
+
+    return (
+        hdiff.agg(F.count("*").alias("header_mismatches"))
+        .crossJoin(ddiff.agg(F.count("*").alias("detail_mismatches")))
+        .crossJoin(sh.agg(F.count("*").alias("headers")))
+    )
+
+
 @query("extraction_e2e_headers")
 def extraction_e2e_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE flagship, end-to-end (rows-only): synthesized interleaved corpus ->
