@@ -64,10 +64,16 @@ def test_antijoin_is_broadcast(spark, sf_dir):
 
 def test_relational_queries_have_no_python_udfs(spark, sf_dir):
     """Every oracle-checked query must stay fully JVM-side. Documented
-    exception: ivf_ann_topk's centroid assignment is an intentional
-    Arrow-batched numpy matmul (SURVEY §2.11 topk/assign UDF family) —
-    vectorized pandas UDF, never row-at-a-time."""
-    allowed_arrow = {"ivf_ann_topk"}
+    exceptions: ivf_ann_topk's centroid assignment is an intentional
+    Arrow-batched numpy matmul (SURVEY §2.11 topk/assign UDF family), and
+    the two golden-equality gates deliberately drive the full pandas-UDF
+    extraction/matching pipelines. Vectorized pandas UDFs only — never
+    row-at-a-time."""
+    allowed_arrow = {
+        "ivf_ann_topk",
+        "extraction_golden_equality",
+        "previsacion_golden_equality",
+    }
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     for name in oracles:
