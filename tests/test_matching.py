@@ -337,3 +337,69 @@ def test_dim_collect_guard(spark, monkeypatch):
     monkeypatch.setattr(config, "MAX_BROADCAST_DIM_ROWS", 3)
     with pytest.raises(ValueError, match="MAX_BROADCAST_DIM_ROWS"):
         matching._collect_nomenclador_space(matching.embed_nomencladores(nom))
+
+
+def test_trigram_jaccard_col_matches_python(spark):
+    """JVM trigram Jaccard == the Python pg_trgm analogue on corpus-alphabet
+    strings (the accent table covers the corpus charset)."""
+    from medical_ocr_service_spark.functions import similarity as sim
+    from medical_ocr_service_spark.operators.matching import trigram_jaccard_col
+
+    pairs = [
+        ("hemograma completo", "hemograma completo"),
+        ("ecografía abdominal", "ecografia  ABDOMINAL"),
+        ("radiografia de torax", "resonancia magnetica"),
+        ("ab", "ab"),
+        ("", "xyz"),
+        ("Sanatorio San Roque", "sanatorio san roque sa"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = df.select("a", "b", trigram_jaccard_col(F.col("a"), F.col("b")).alias("j")).collect()
+    for r in out:
+        expected = sim.trigram_similarity(r["a"], r["b"])
+        assert abs(r["j"] - expected) < 1e-9, (r["a"], r["b"], r["j"], expected)
+
+
+def test_match_prestador_ann_agrees_with_exact(spark, corpus_dir):
+    """The no-collect ANN provider cascade: exact RUC/matricula rows are
+    IDENTICAL to match_prestador; fuzzy rows agree on the vast majority of
+    docs (single-probe LSH is approximate by design)."""
+    from medical_ocr_service_spark.corpus import generator
+    from medical_ocr_service_spark.operators import extract, matching
+    from medical_ocr_service_spark.plans.previsacion import plan_id_col
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    prest, _, _ = generator.dims_dataframes(spark)
+    prest_e = matching.embed_prestadores(prest)
+    doc_fields = extract.extract_documents(docs, media).select(
+        "doc_id",
+        F.col("fields.ruc").alias("ruc"),
+        F.col("fields.prestador_nombre").alias("prestador_nombre"),
+        F.col("fields.medico_matricula").alias("medico_matricula"),
+        F.col("fields.matricula_valida").alias("matricula_valida"),
+        plan_id_col(),
+    )
+    exact = matching.match_prestador(doc_fields, prest_e).select(
+        "doc_id", "prestador_id", "prestador_metodo"
+    ).toPandas().set_index("doc_id")
+    ann = matching.match_prestador_ann(doc_fields, prest_e).select(
+        "doc_id", "prestador_id", "prestador_metodo"
+    ).toPandas().set_index("doc_id")
+    assert len(exact) == len(ann)
+
+    ex_exact = exact[exact["prestador_metodo"].isin(["RUC", "MATRICULA"])]
+    assert (
+        ann.loc[ex_exact.index, "prestador_id"] == ex_exact["prestador_id"]
+    ).all()
+    assert (
+        ann.loc[ex_exact.index, "prestador_metodo"] == ex_exact["prestador_metodo"]
+    ).all()
+
+    fuzzy_idx = exact[exact["prestador_metodo"] == "FUZZY"].index
+    if len(fuzzy_idx):
+        agree = (
+            ann.loc[fuzzy_idx, "prestador_id"].fillna(-1)
+            == exact.loc[fuzzy_idx, "prestador_id"].fillna(-1)
+        ).mean()
+        assert agree >= 0.6, f"ANN fuzzy agreement too low: {agree}"
