@@ -403,7 +403,17 @@ def match_prestador_ann(
         "left",
     ).drop("_p_mat")
 
-    dim = len(activo.select("nombre_embedding").first()[0])
+    first_emb = activo.select("nombre_embedding").first()
+    if first_emb is None or first_emb[0] is None:
+        # loud-failure contract (mirrors _guarded_collect): an empty active-
+        # provider dimension means every fuzzy match would be null anyway —
+        # tell the caller instead of TypeError-ing on len(None)
+        raise ValueError(
+            "match_prestador_ann: the active prestador dimension is empty "
+            "(no estado='ACTIVO' rows with nombre_embedding); nothing to "
+            "match against"
+        )
+    dim = len(first_emb[0])
     H = srp_coefficients(dim, n_planes)
     # bucket on a NOMBRE-ONLY embedding so both sides of the LSH live in the
     # same text space (the query is just the extracted provider name; the

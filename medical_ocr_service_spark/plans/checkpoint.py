@@ -67,10 +67,16 @@ class CheckpointedExtraction:
     def failed_docs(self, spark: SparkSession, max_intentos: int = 3) -> DataFrame:
         """Quarantine rollup (Q3, job-queue.service.js:193-238): per doc,
         attempt count and state — FAILED once max_intentos is exhausted,
-        QUEUED (retry on next resume) below it."""
+        QUEUED (retry on next resume) below it. Quarantine appends are never
+        rewritten, so docs that later SUCCEEDED are reconciled here: the
+        rollup anti-joins the results snapshot, dropping recovered docs from
+        the report."""
         att = self.quarantine_attempts(spark)
         if att is None:
             return spark.createDataFrame([], "doc_id string, intentos long, estado string")
+        done = self.done_doc_ids(spark)
+        if done is not None:
+            att = att.join(done, "doc_id", "left_anti")
         return att.withColumn(
             "estado",
             F.when(F.col("intentos") >= max_intentos, "FAILED").otherwise("QUEUED"),
@@ -114,6 +120,11 @@ class CheckpointedExtraction:
 
         quarantine_df = None
         if quarantine:
+            if salted:
+                raise ValueError(
+                    "quarantine=True has no salted reassembly path; drop "
+                    "salted=True or run without per-row quarantine"
+                )
             att = self.quarantine_attempts(spark)
             if att is not None:
                 exhausted = att.filter(F.col("intentos") >= max_intentos).select(

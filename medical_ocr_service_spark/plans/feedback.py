@@ -25,20 +25,51 @@ VALID_ACTIONS = ("APROBAR", "RECHAZAR", "CORREGIR")
 RETRY_SCHEDULE_S = [5, 15, 30, 60, 120]  # webhook.service.js:99-101
 
 
+def validate_feedback_tenant(
+    header: DataFrame, feedback: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Tenant-ownership gate (reference feedback.routes.js:63-69: the route
+    re-reads the order `WHERE id=$1 AND tenant_id=$2` and 404s on a miss
+    BEFORE any mutation). Returns (valid_feedback, errors): feedback rows
+    naming a doc the tenant doesn't own — or no doc at all — are routed to
+    the error side untouched; only owned rows proceed to apply_feedback /
+    apply_corrections. Both inputs must carry tenant_id."""
+    owner = header.select(
+        F.col("doc_id").alias("_h_doc"), F.col("tenant_id").alias("_h_tenant")
+    )
+    j = feedback.join(owner, feedback.doc_id == owner._h_doc, "left")
+    ok = F.col("_h_doc").isNotNull() & (F.col("tenant_id") == F.col("_h_tenant"))
+    valid = j.filter(ok).select(*feedback.columns)
+    errors = j.filter(~F.coalesce(ok, F.lit(False))).select(
+        *feedback.columns,
+        F.when(F.col("_h_doc").isNull(), "documento no encontrado")
+        .otherwise("tenant no es dueño del documento")
+        .alias("error"),
+    )
+    return valid, errors
+
+
 def apply_feedback(header: DataFrame, feedback: DataFrame) -> DataFrame:
     """Guarded state machine on the header table.
 
     feedback: (doc_id, accion, motivo). Transitions only fire from PENDIENTE —
     a second APROBAR/RECHAZAR on the same doc is a no-op, mirroring the
-    reference's `WHERE estado = 'PENDIENTE'` guard."""
+    reference's `WHERE estado = 'PENDIENTE'` guard. When BOTH sides carry a
+    tenant_id column, the transition additionally requires tenant ownership
+    (defense-in-depth below validate_feedback_tenant — cross-tenant feedback
+    can never mutate even if a caller skips the route-level gate)."""
+    check_tenant = "tenant_id" in header.columns and "tenant_id" in feedback.columns
+    fb_cols = [
+        F.col("doc_id").alias("_fb_doc"),
+        F.col("accion").alias("_accion"),
+        F.col("motivo").alias("_motivo"),
+    ]
+    if check_tenant:
+        fb_cols.append(F.col("tenant_id").alias("_fb_tenant"))
     fb = (
         feedback.filter(F.col("accion").isin(*VALID_ACTIONS))
         .dropDuplicates(["doc_id"])
-        .select(
-            F.col("doc_id").alias("_fb_doc"),
-            F.col("accion").alias("_accion"),
-            F.col("motivo").alias("_motivo"),
-        )
+        .select(*fb_cols)
     )
     # capture the guard BEFORE the estado column is rewritten — later
     # withColumns would otherwise see the post-transition state
@@ -46,6 +77,8 @@ def apply_feedback(header: DataFrame, feedback: DataFrame) -> DataFrame:
         F.broadcast(fb), header.doc_id == fb._fb_doc, "left"
     ).withColumn("_was_pendiente", F.col("estado") == "PENDIENTE")
     guarded = F.col("_was_pendiente")
+    if check_tenant:
+        guarded = guarded & (F.col("_fb_tenant") == header.tenant_id)
     return (
         joined.withColumn(
             "estado",
@@ -64,7 +97,7 @@ def apply_feedback(header: DataFrame, feedback: DataFrame) -> DataFrame:
                 F.current_timestamp(),
             ),
         )
-        .drop("_fb_doc", "_accion", "_motivo", "_was_pendiente")
+        .drop("_fb_doc", "_accion", "_motivo", "_was_pendiente", "_fb_tenant")
     )
 
 
@@ -72,17 +105,24 @@ def apply_corrections(detail: DataFrame, corrections: DataFrame) -> DataFrame:
     """Per-item corrections (CORREGIR): corrections(doc_id, item,
     nomenclador_id_corregido, comentario) -> detail with corrected columns +
     estado_item, original suggestion preserved."""
-    c = corrections.select(
+    check_tenant = "tenant_id" in detail.columns and "tenant_id" in corrections.columns
+    c_cols = [
         F.col("doc_id").alias("_c_doc"),
         F.col("item").alias("_c_item"),
-        "nomenclador_id_corregido",
+        F.col("nomenclador_id_corregido"),
         F.col("comentario").alias("correccion_comentario"),
-    )
-    joined = detail.join(
-        F.broadcast(c),
-        (detail.doc_id == c._c_doc) & (detail.item == c._c_item),
-        "left",
-    )
+    ]
+    if check_tenant:
+        c_cols.append(F.col("tenant_id").alias("_c_tenant"))
+    c = corrections.select(*c_cols)
+    cond = (detail.doc_id == c._c_doc) & (detail.item == c._c_item)
+    if check_tenant:
+        # same ownership defense as apply_feedback: a cross-tenant correction
+        # never attaches, so estado_item stays SUGERIDO
+        cond = cond & (detail.tenant_id == c._c_tenant)
+    joined = detail.join(F.broadcast(c), cond, "left")
+    if check_tenant:
+        joined = joined.drop("_c_tenant")
     return joined.withColumn(
         "estado_item",
         F.when(F.col("nomenclador_id_corregido").isNotNull(), "CORREGIDO").otherwise(

@@ -34,6 +34,7 @@ def run_previsacion(
     media_strategy: str = "join",
     practice_matcher: str = "auto",
     tenant_id: str | None = None,
+    acuerdos_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (visacion_previa, det_visacion_previa).
 
@@ -42,8 +43,12 @@ def run_previsacion(
     ``practice_matcher``: 'fast' ships the agreements dim in the UDF closure
     (zero extra shuffles — correct only while the dim fits driver/executor
     memory), 'join' is the broadcast-join path that scales to any dim size,
-    'auto' (default) counts the agreements table and falls back to 'join'
-    above config.FAST_MATCH_MAX_AGREEMENTS rows.
+    'auto' (default) probes the agreements table size and falls back to
+    'join' above config.FAST_MATCH_MAX_AGREEMENTS rows. The probe is a
+    ``limit(cap+1)`` count (CollectLimit — scans partitions incrementally
+    and stops at cap+1 rows), NOT a full-table count() action; callers with
+    catalog/cached statistics can skip even that by passing
+    ``acuerdos_count``.
 
     ``tenant_id`` (P1, reference matching.service.js:25-29 / migration_
     multitenant.sql): when given, the whole run is scoped to ONE tenant —
@@ -117,10 +122,19 @@ def run_previsacion(
     # dict only works while the agreements dim fits in memory.
     if practice_matcher not in ("auto", "fast", "join"):
         raise ValueError(f"practice_matcher: unknown value {practice_matcher!r}")
-    use_fast = practice_matcher == "fast" or (
-        practice_matcher == "auto"
-        and acuerdos.count() <= config.FAST_MATCH_MAX_AGREEMENTS
-    )
+    if practice_matcher == "fast":
+        use_fast = True
+    elif practice_matcher == "auto":
+        cap = config.FAST_MATCH_MAX_AGREEMENTS
+        if acuerdos_count is None:
+            # bounded probe: 1-column CollectLimit stops after cap+1 rows —
+            # no full scan of the agreements table just to pick a plan
+            acuerdos_count = (
+                acuerdos.select(acuerdos.columns[0]).limit(cap + 1).count()
+            )
+        use_fast = acuerdos_count <= cap
+    else:
+        use_fast = False
     if use_fast:
         det = matching.match_practices_fast(practices, nom_e, acuerdos)
     else:
@@ -171,6 +185,11 @@ def run_previsacion(
             F.lit("PENDIENTE").alias("estado"),
         )
     )
+    if tenant_id is not None:
+        # thread the owning tenant onto the header so downstream feedback can
+        # enforce ownership (reference feedback.routes.js:63-69 re-checks
+        # `WHERE id=$1 AND tenant_id=$2` before any mutation)
+        header = header.withColumn("tenant_id", F.lit(tenant_id))
 
     detail = det.select(
         "doc_id",

@@ -165,12 +165,20 @@ def with_global_row_index(
        offsets back.
 
     Two jobs over the input, zero wide shuffles of the data itself.
+
+    The (partition, position) assignment is NONDETERMINISTIC lineage (the
+    orderBy's range-sampling seed and monotonically_increasing_id both vary
+    per execution), and it is consumed by TWO actions — the offsets collect
+    here and the caller's eventual action. localCheckpoint materializes the
+    assignment once and truncates the lineage, so both actions read the same
+    partitions; without it the two executions can disagree and produce
+    duplicate/skipped index values.
     """
     base = df.orderBy(order_col) if order_col is not None else df
     mid = F.monotonically_increasing_id()
     ids = base.withColumn("_pid", F.shiftright(mid, 33)).withColumn(
         "_pos", mid.bitwiseAND((1 << 33) - 1)
-    )
+    ).localCheckpoint()
     counts = sorted(
         (r["_pid"], r["n"])
         for r in ids.groupBy("_pid").agg(F.count("*").alias("n")).collect()

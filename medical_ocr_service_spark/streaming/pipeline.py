@@ -145,9 +145,13 @@ def stream_dedup(
         already = state.exists
         first_doc = None
         n = 0
+        # deterministic winner among equal-hash docs inside one micro-batch:
+        # min(doc_id) across ALL chunks, independent of arrival order (the
+        # batch exact-dedup operator keeps min(id) too)
         for pdf in pdfs:
-            if len(pdf) and first_doc is None:
-                first_doc = pdf["doc_id"].iloc[0]
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                first_doc = m if first_doc is None else min(first_doc, m)
             n += len(pdf)
         if already or first_doc is None:
             yield pd.DataFrame(

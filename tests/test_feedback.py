@@ -193,3 +193,57 @@ def test_should_trigger_training(spark):
         ex, threshold=50, last_run_ts=now - 25 * 3600, now_ts=now
     )
     assert fire
+
+
+def test_tenant_ownership_guard(spark):
+    """Reference feedback.routes.js:63-69: feedback on a doc the tenant
+    doesn't own must mutate NOTHING and land in the error output."""
+    header = spark.createDataFrame(
+        [("d1", "PENDIENTE", "tenant-a"), ("d2", "PENDIENTE", "tenant-b")],
+        "doc_id string, estado string, tenant_id string",
+    )
+    fdbk = spark.createDataFrame(
+        [
+            ("d1", "APROBAR", None, "tenant-a"),   # owned -> fires
+            ("d2", "APROBAR", None, "tenant-a"),   # cross-tenant -> rejected
+            ("dX", "RECHAZAR", "x", "tenant-a"),   # unknown doc -> rejected
+        ],
+        "doc_id string, accion string, motivo string, tenant_id string",
+    )
+    valid, errors = fb.validate_feedback_tenant(header, fdbk)
+    err = errors.toPandas().set_index("doc_id")
+    assert set(err.index) == {"d2", "dX"}
+    assert err.loc["d2", "error"] == "tenant no es dueño del documento"
+    assert err.loc["dX", "error"] == "documento no encontrado"
+    out = fb.apply_feedback(header, valid).toPandas().set_index("doc_id")
+    assert out.loc["d1", "estado"] == "APROBADA"
+    assert out.loc["d2", "estado"] == "PENDIENTE"  # untouched
+
+
+def test_tenant_guard_defense_in_depth(spark):
+    """Even WITHOUT the route-level gate, apply_feedback itself refuses a
+    cross-tenant transition when both sides carry tenant_id."""
+    header = spark.createDataFrame(
+        [("d1", "PENDIENTE", "tenant-a")],
+        "doc_id string, estado string, tenant_id string",
+    )
+    cross = spark.createDataFrame(
+        [("d1", "APROBAR", None, "tenant-b")],
+        "doc_id string, accion string, motivo string, tenant_id string",
+    )
+    out = fb.apply_feedback(header, cross).toPandas()
+    assert out.loc[0, "estado"] == "PENDIENTE"
+    assert "_fb_tenant" not in out.columns
+    # corrections: cross-tenant correction never attaches
+    detail = spark.createDataFrame(
+        [("d1", 1, "HEMOGRAMA", 5, 0.92, "tenant-a")],
+        "doc_id string, item int, descripcion_original string, "
+        "nomenclador_id_sugerido int, similitud double, tenant_id string",
+    )
+    corr = spark.createDataFrame(
+        [("d1", 1, 11, "x", "tenant-b")],
+        "doc_id string, item int, nomenclador_id_corregido int, "
+        "comentario string, tenant_id string",
+    )
+    cout = fb.apply_corrections(detail, corr).toPandas()
+    assert cout.loc[0, "estado_item"] == "SUGERIDO"
