@@ -118,7 +118,15 @@ CONFIDENCE_WEIGHTS = {
 # Matching (similarity) model
 # ---------------------------------------------------------------------------
 
-EMBEDDING_DIM = 64          # deterministic feature-hash vectorizer width
+# Deterministic feature-hash vectorizer width. 64 is the test/bench default
+# (keeps fixtures fast); the reference's production width is 1536
+# (database/schema_matching.sql:33,64 vector(1536), text-embedding-3-small).
+# Env-overridable so the SAME code — Spark pipeline, golden matcher, ANN
+# cascade — runs at production width: the dim-1536 pytest and bench row set
+# SPARK_GRAFT_EMBEDDING_DIM=1536 in a subprocess.
+import os as _os
+
+EMBEDDING_DIM = int(_os.environ.get("SPARK_GRAFT_EMBEDDING_DIM", "64"))
 TOPK_NOMENCLADOR = 10       # matching.service.js:45-47
 TOPK_PRESTADOR = 5          # matching.service.js:151-152
 N_ALTERNATIVES = 5          # matching.service.js:395-406
