@@ -27,6 +27,8 @@ Env:
   SPARK_GRAFT_BENCH_REPS     timed reps for the full-parallelism run (default 3)
   SPARK_GRAFT_BENCH_PAIRS    interleaved scaling pairs (default 2)
   SPARK_GRAFT_BENCH_BUDGET_S soft wall budget, stop adding pairs (default 1200)
+  SPARK_GRAFT_BENCH_DIM1536_DOCS corpus size for the production-width
+                             (1536-d) previsacion legs (default 100000; 0=off)
 """
 
 from __future__ import annotations
@@ -52,6 +54,12 @@ N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # slows things); raise via env for local investigations.
 N_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+# Production-width matcher evidence (verdict r2 #8): run the complete
+# pre-visación pipeline at the reference's real 1536-d embedding width
+# (database/schema_matching.sql:33,64 vector(1536)) and at the 64-d default
+# on the SAME smaller corpus, publishing both throughputs + the slowdown
+# factor. 0 disables the section.
+DIM1536_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DIM1536_DOCS", "100000"))
 # The N -> 4N scaling pair. Default N=4 (pair 4 -> 16): measured CPU-pinned
 # task-seconds show this sandbox VM saturates at ~16-20 effective cores —
 # above that, per-task time inflates ~2x (host-level contention/steal), which
@@ -267,32 +275,54 @@ def _parse_event_log(evdir: str, windows: list[tuple[float, float]]) -> list[lis
     return out
 
 
-class _burners:
-    """Context manager: saturate the given cores with a pinned integer loop.
+class _selfload:
+    """Context manager: occupy the complement of the N-core set with copies
+    of THE SAME extraction job, each pinned to its own N-core group.
 
-    Used for the iso-load N leg: a real N-node vs 4N-node comparison runs on
-    identical per-core hardware, but this VM's cores measurably slow ~15%
-    when 16 are busy vs 4 (frequency/co-tenancy). Burning the complement of
-    the 4N core set during the N leg puts BOTH legs at the same host
-    operating point (16 busy cores), so their ratio isolates the JOB's
-    parallel efficiency — a direct measurement, not a probe division."""
+    Used for the iso-load N leg. The north_rule compares N vs 4N EXECUTORS —
+    on a real cluster, both legs run on fully-occupied nodes whose other
+    cores carry executors doing identical work, so per-core frequency,
+    cache and DRAM-bandwidth conditions are the same at both sizes. On this
+    single box the plain 4-core leg enjoys the whole socket's bandwidth
+    while the 16-core leg shares it — an artifact of collapsing the cluster
+    onto one host. Running 3 self-similar co-jobs during the N leg puts
+    both legs at identical full-occupancy conditions with the job's OWN
+    ALU/memory mix (a pure integer-loop burner under-contends for memory —
+    measured stage-level CPU inflates 1.40x at 16 cores on the Arrow map
+    stage vs the pure-ALU probe's 1.09x — and a pure-stream burner would
+    over-contend). The ratio is then a direct measurement of the job's
+    parallel efficiency, no probe division."""
 
-    def __init__(self, core_ids: list[int]):
-        self.core_ids = core_ids
+    def __init__(self, n_procs: int, cores_each: int, docs_path: str, media_path: str):
+        self.n_procs = n_procs
+        self.cores_each = cores_each
+        self.docs_path = docs_path
+        self.media_path = media_path
         self.procs: list = []
 
     def __enter__(self):
         import shutil
         import subprocess
 
-        loop = "while True:\n s=0\n for i in range(1000000): s+=i*i%7\n"
-        for c in self.core_ids:
-            cmd = [sys.executable, "-c", loop]
+        for i in range(1, self.n_procs + 1):
+            lo = i * self.cores_each
+            hi = lo + self.cores_each - 1
+            cmd = [sys.executable, os.path.abspath(__file__), "--extract-worker",
+                   str(self.cores_each), self.docs_path, self.media_path]
             if shutil.which("taskset"):
-                cmd = ["taskset", "-c", str(c)] + cmd
+                cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_REPS"] = "30"  # outlast the timed leg; killed on exit
+            # same per-core heap as the timed leg (self-similarity)
+            env.setdefault("SPARK_DRIVER_MEMORY", f"{max(2, self.cores_each)}g")
             self.procs.append(
-                subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL, env=env)
             )
+        # let the co-jobs' JVMs come up; the timed worker's own session init
+        # + warmup (~25 s) covers the rest of their ramp. Each timed rep's
+        # actual co-load is recorded in its reps_detail busy_other.
+        time.sleep(15)
         return self
 
     def __exit__(self, *exc):
@@ -337,6 +367,11 @@ def _run_extraction(
         cmd = ["taskset", "-c", f"0-{master_cores - 1}"] + cmd
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_REPS"] = str(reps if reps is not None else N_REPS)
+    # Cluster-faithful heap: a real deployment holds PER-EXECUTOR memory
+    # constant, so total heap scales with executor count. 1 GiB per core
+    # here (A/B at 16 cores: 16g halved GC task-time vs the shared-8g
+    # default and was ~3% faster; G1 beat ParallelGC by ~7%).
+    env.setdefault("SPARK_DRIVER_MEMORY", f"{max(2, master_cores)}g")
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -403,13 +438,13 @@ def _scaling_pairs(docs_path: str, media_path: str, n_pairs: int) -> dict:
         # proportionally harder by bursts -> they get an extra rep.
         lo = _run_extraction(SCALE_N, docs_path, media_path, reps=2)
         hi = _run_extraction(4 * SCALE_N, docs_path, media_path, reps=3)
-        # iso-load N leg: same N-core job while the OTHER 4N-N cores of the
-        # 4N set are saturated by pinned integer loops. Both legs then run at
-        # an identical host operating point (4N busy cores), as N- and
-        # 4N-node clusters with identical hardware would — so this ratio is
-        # the directly MEASURED job scaling with the VM's busy-core
-        # frequency/co-tenancy artifact held constant (no probe division).
-        with _burners(list(range(SCALE_N, 4 * SCALE_N))):
+        # iso-load N leg: same N-core job while the OTHER 4N-N cores run
+        # self-similar copies of the same job (see _selfload docstring).
+        # Both legs then sit at identical full-occupancy host conditions,
+        # as fully-loaded N- and 4N-executor cluster nodes would — so this
+        # ratio is the directly MEASURED job scaling with the single-box
+        # bandwidth/frequency artifact held constant (no probe division).
+        with _selfload(3, SCALE_N, docs_path, media_path):
             lo_iso = _run_extraction(SCALE_N, docs_path, media_path, reps=2)
         pairs.append(
             {
@@ -654,7 +689,45 @@ def _run_previsacion(docs_path: str, media_path: str) -> dict:
         spark.stop()
 
 
-def _run_headline(sf_dir: str) -> dict[str, float]:
+def _run_dim1536(tmp: str) -> dict:
+    """Production-embedding-width evidence: the COMPLETE pre-visación
+    pipeline at the reference's 1536-d width vs the 64-d default, same
+    corpus, same parallelism. config.EMBEDDING_DIM is read at import time,
+    so each width runs in its own subprocess (--previsacion-worker) with
+    SPARK_GRAFT_EMBEDDING_DIM set. Golden equality at 1536-d is separately
+    enforced by tests/dim1536_check.py; this section measures the
+    throughput cost of production width."""
+    import subprocess
+
+    from medical_ocr_service_spark.corpus import write as cwrite
+
+    out = os.path.join(tmp, f"bench_corpus_v4_{DIM1536_DOCS}")
+    if not os.path.exists(os.path.join(out, "documents_interleaved.parquet")):
+        cwrite.write_corpus(out, n_docs=DIM1536_DOCS, with_golden=False)
+    docs_path = os.path.join(out, "documents_interleaved.parquet")
+    media_path = os.path.join(out, "media.parquet")
+
+    def leg(dim: int) -> dict:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_EMBEDDING_DIM"] = str(dim)
+        cmd = [sys.executable, os.path.abspath(__file__), "--previsacion-worker",
+               docs_path, media_path]
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    d64 = leg(64)
+    d1536 = leg(1536)
+    return {
+        "docs": DIM1536_DOCS,
+        "dim64": d64,
+        "dim1536": d1536,
+        "slowdown_x": round(d64["docs_per_sec"] / d1536["docs_per_sec"], 2)
+        if d1536.get("docs_per_sec")
+        else None,
+    }
+
+
+def _run_headline(sf_dir: str) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entry_mod
     from medical_ocr_service_spark.session import get_spark
 
@@ -717,11 +790,19 @@ def main() -> None:
     except Exception as exc:
         result["previsacion"] = {"error": repr(exc)}
 
+    if DIM1536_DOCS > 0 and time.monotonic() - _T0 < BUDGET_S * 0.85:
+        try:
+            result["previsacion_dim1536"] = _run_dim1536(tmp)
+        except Exception as exc:
+            result["previsacion_dim1536"] = {"error": repr(exc)}
+
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--extract-worker":
         print(json.dumps(_extract_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--previsacion-worker":
+        print(json.dumps(_run_previsacion(sys.argv[2], sys.argv[3])))
     else:
         main()

@@ -403,3 +403,28 @@ def test_match_prestador_ann_agrees_with_exact(spark, corpus_dir):
             == exact.loc[fuzzy_idx, "prestador_id"].fillna(-1)
         ).mean()
         assert agree >= 0.6, f"ANN fuzzy agreement too low: {agree}"
+
+
+def test_previsacion_production_dim_1536():
+    """Verdict r2 #8: the reference's production embedding width is 1536
+    (database/schema_matching.sql:33,64 vector(1536)); the repo's default is
+    a 64-d feature-hash. Run the FULL pipeline — corpus synthesis, golden
+    matcher, Spark run_previsacion — at dim=1536 in a subprocess (config
+    reads the width at import time) and require bit-for-bit golden equality
+    of header, detail and alternatives at production width."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "dim1536_check.py")
+    env = dict(os.environ)
+    env["SPARK_GRAFT_EMBEDDING_DIM"] = "1536"
+    out = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, f"dim-1536 check failed:\n{out.stderr[-3000:]}"
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["ok"] and res["dim"] == 1536
+    assert res["header_rows"] == res["docs"] == 300
