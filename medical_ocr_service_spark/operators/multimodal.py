@@ -5,13 +5,16 @@ The Spark-side plumbing (schemas, partitioning, mapInPandas batch shape,
 metadata propagation) is real and tested. Pixel decoding:
 
 * **image/bmp — REAL**: a pure stdlib+numpy decoder/encoder for 24-bit
-  uncompressed BMP (no codec libraries needed) powers genuine decode,
-  dimension verification, channel-mean features, nearest-neighbor resize
-  and the >5 MB compression pass (compress_images);
-* other image/audio codecs (PNG/JPEG/...) are environment-gated:
-  `decode_features` raises NotImplementedError for them unless
-  `fake=True`, which substitutes a deterministic synthetic decoder so the
-  pipeline shape can still be exercised end-to-end.
+  uncompressed BMP (no codec libraries needed);
+* **image/png — REAL**: a pure stdlib(zlib)+numpy codec — 8-bit
+  gray/RGB/palette/gray-alpha/RGBA decode with all five scanline filters,
+  8-bit RGB encode. Together these power genuine decode, dimension
+  verification, channel-mean features, nearest-neighbor resize and the
+  >5 MB compression pass (compress_images);
+* remaining codecs (JPEG's DCT+huffman, audio/video containers) are
+  environment-gated: `decode_features` raises NotImplementedError for
+  them unless `fake=True`, which substitutes a deterministic synthetic
+  decoder so the pipeline shape can still be exercised end-to-end.
 
 Reference parity: the reference validates/compresses images with sharp and
 renders PDFs with pdftoppm (/root/reference/src/services/image.service.js:186-240,
@@ -114,6 +117,148 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real pixel path #2: PNG (pure stdlib zlib + numpy — no codec library).
+# Decoder: 8-bit depth, color types 0/2/3/4/6, all five scanline filters,
+# non-interlaced (the overwhelmingly common case; Adam7 rejected loudly).
+# Encoder: 8-bit RGB, filter 0, one IDAT. The reference validates/compresses
+# PNG/JPEG via sharp (src/services/image.service.js:186-240); PNG is fully
+# real here, JPEG (DCT+huffman) stays environment-gated.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering -> (h, stride) uint8 of raw samples.
+
+    Filters 0 (None) and 2 (Up) are pure vector ops; 1 (Sub) is a cumsum
+    over bpp-strided lanes (mod-256 addition distributes over cumsum); 3/4
+    (Average/Paeth) have an intra-row left dependency -> per-pixel loop of
+    bpp-wide vector ops (w iterations, not w*bpp)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f = rows[y, 0]
+        cur = rows[y, 1:].astype(np.uint16)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            npix = stride // bpp
+            lanes = cur[: npix * bpp].reshape(npix, bpp)
+            cur[: npix * bpp] = (np.cumsum(lanes, axis=0, dtype=np.uint64) % 256).reshape(-1)
+        elif f == 2:  # Up
+            cur = (cur + prev) % 256
+        elif f == 3:  # Average
+            for x in range(0, stride, bpp):
+                left = cur[x - bpp : x] if x >= bpp else np.zeros(bpp, np.uint16)
+                cur[x : x + bpp] = (
+                    cur[x : x + bpp] + (left + prev[x : x + bpp]) // 2
+                ) % 256
+        elif f == 4:  # Paeth
+            for x in range(0, stride, bpp):
+                a = cur[x - bpp : x].astype(np.int32) if x >= bpp else np.zeros(bpp, np.int32)
+                b = prev[x : x + bpp].astype(np.int32)
+                c = (
+                    prev[x - bpp : x].astype(np.int32)
+                    if x >= bpp
+                    else np.zeros(bpp, np.int32)
+                )
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                cur[x : x + bpp] = (cur[x : x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """-> (width, height, HxWx3 uint8 RGB). 8-bit, non-interlaced; gray and
+    palette expanded to RGB, alpha dropped (features/validation path)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat, plte = [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("bad PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if w <= 0 or h <= 0:
+        raise ValueError("empty image")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    samples = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 2:
+        rgb = samples
+    elif color == 6:
+        rgb = samples[..., :3]
+    elif color == 0:
+        rgb = np.repeat(samples, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(samples[..., :1], 3, axis=2)
+    else:  # palette
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = samples[..., 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 8-bit truecolor PNG (filter 0, one IDAT)."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    raw = np.zeros((h, w * 3 + 1), np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     h, w = arr.shape[:2]
     yi = np.arange(th) * h // th
@@ -121,11 +266,18 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     return arr[yi][:, xi]
 
 
-def _bmp_features(payload: bytes, meta_w, meta_h) -> tuple[list[float], bool, str | None]:
+# mime -> (decoder, encoder) for the formats with REAL pure-stdlib codecs
+REAL_DECODERS = {"image/bmp": decode_bmp, "image/png": decode_png}
+REAL_ENCODERS = {"image/bmp": encode_bmp, "image/png": encode_png}
+
+
+def _raster_features(
+    payload: bytes, meta_w, meta_h, decoder
+) -> tuple[list[float], bool, str | None]:
     """Real decode: features = [w, h scaled] + per-channel means + row-band
     means (16 dims total); validity from the DECODED dimensions, plus a
     metadata-consistency check (declared width/height must match pixels)."""
-    w, h, arr = decode_bmp(payload)
+    w, h, arr = decoder(payload)
     if (meta_w is not None and meta_w != w) or (meta_h is not None and meta_h != h):
         return [], False, "METADATA_DIMENSION_MISMATCH"
     ok = MIN_DIM <= w <= MAX_DIM and MIN_DIM <= h <= MAX_DIM and len(payload) <= MAX_BYTES
@@ -142,10 +294,11 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas over binary payloads -> per-media feature rows.
 
     Arrow-batched; the batch iterator shape (multiple pdf.DataFrames per
-    partition) is the real production contract. image/bmp payloads are
-    decoded for REAL (pure stdlib+numpy decoder); other image/audio mimes
-    need codec libraries not present here — fake=True substitutes the
-    deterministic synthetic decoder for them, otherwise they raise."""
+    partition) is the real production contract. image/bmp and image/png
+    payloads are decoded for REAL (pure stdlib+numpy codecs); other
+    image/audio mimes need codec libraries not present here — fake=True
+    substitutes the deterministic synthetic decoder for them, otherwise
+    they raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,10 +311,12 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     "n_bytes": len(payload),
                     "sha256": hashlib.sha256(payload).hexdigest(),
                 }
-                if r.kind == "image" and r.mime == "image/bmp":
+                if r.kind == "image" and r.mime in REAL_DECODERS:
                     try:
-                        feat, valid, err = _bmp_features(payload, r.width, r.height)
-                    except ValueError as exc:
+                        feat, valid, err = _raster_features(
+                            payload, r.width, r.height, REAL_DECODERS[r.mime]
+                        )
+                    except Exception as exc:  # zlib.error, ValueError, ...
                         feat, valid, err = [], False, f"DECODE_ERROR: {exc}"
                     rows.append({**base, "feat": feat, "valid": valid, "error": err})
                     continue
@@ -200,28 +355,29 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def compress_images(media: DataFrame, max_bytes: int = MAX_BYTES) -> DataFrame:
-    """D2 compression pass (image.service.js:203-226 analogue): bmp images
-    over `max_bytes` are nearest-neighbor halved until they fit (or hit
-    MIN_DIM); payload, width and height are rewritten, other rows pass
+    """D2 compression pass (image.service.js:203-226 analogue): bmp/png
+    images over `max_bytes` are nearest-neighbor halved until they fit (or
+    hit MIN_DIM); payload, width and height are rewritten, other rows pass
     through untouched. Real pixels, real re-encode — mapInPandas batched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             for i, r in enumerate(pdf.itertuples(index=False)):
-                if r.kind != "image" or r.mime != "image/bmp" or r.payload is None:
+                if r.kind != "image" or r.mime not in REAL_DECODERS or r.payload is None:
                     continue
                 if len(r.payload) <= max_bytes:
                     continue
                 try:
-                    w, h, arr = decode_bmp(bytes(r.payload))
-                except ValueError:
+                    w, h, arr = REAL_DECODERS[r.mime](bytes(r.payload))
+                except Exception:  # undecodable -> pass through untouched
                     continue
+                encode = REAL_ENCODERS[r.mime]
                 payload = bytes(r.payload)
                 while len(payload) > max_bytes and min(w, h) // 2 >= MIN_DIM:
                     w, h = w // 2, h // 2
                     arr = resize_nearest(arr, w, h)
-                    payload = encode_bmp(arr)
+                    payload = encode(arr)
                 out.iloc[i, out.columns.get_loc("payload")] = payload
                 out.iloc[i, out.columns.get_loc("width")] = w
                 out.iloc[i, out.columns.get_loc("height")] = h
@@ -258,29 +414,52 @@ def gradient_bmp(w: int, h: int, seed: int = 0) -> bytes:
     return encode_bmp(arr)
 
 
+def gradient_png(w: int, h: int, seed: int = 0) -> bytes:
+    """Deterministic real PNG: RGB gradient varied by seed."""
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [
+            ((x * (seed % 5 + 1)) % 256),
+            ((y * (seed % 7 + 1)) % 256),
+            ((x + y + seed) % 256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_png(arr)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic binary media table for tests. Every other
-    image row carries a REAL 24-bit BMP payload (decodable, resizable);
-    the rest keep opaque bytes under environment-gated mimes."""
+    """Deterministic synthetic binary media table for tests. Image rows
+    alternate REAL 24-bit BMP and REAL PNG payloads (decodable, resizable);
+    some PNGs are deliberately under MIN_DIM so the dimension gate fires.
+    Audio/video rows keep opaque bytes under environment-gated mimes."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if kind == "image" and (i // 3) % 2 == 0:
-            w, h = 200 + (i % 5) * 40, 200 + (i % 4) * 50
-            rows.append(
-                (f"m{i:05d}", "image", "image/bmp", gradient_bmp(w, h, i), w, h, None)
-            )
+        if kind == "image":
+            if (i // 3) % 2 == 0:
+                w, h = 200 + (i % 5) * 40, 200 + (i % 4) * 50
+                rows.append(
+                    (f"m{i:05d}", "image", "image/bmp", gradient_bmp(w, h, i), w, h, None)
+                )
+            else:
+                # every other PNG is under the 200px gate -> valid=False rows
+                w = (120 if (i // 6) % 2 == 0 else 220) + (i % 5) * 8
+                h = (110 if (i // 6) % 2 == 0 else 210) + (i % 4) * 9
+                rows.append(
+                    (f"m{i:05d}", "image", "image/png", gradient_png(w, h, i), w, h, None)
+                )
             continue
         payload = hashlib.sha256(f"media{i}".encode()).digest() * (i % 7 + 1)
         rows.append(
             (
                 f"m{i:05d}",
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                {"audio": "audio/wav", "video": "video/mp4"}[kind],
                 payload,
-                100 + i * 37 if kind == "image" else None,
-                100 + i * 29 if kind == "image" else None,
-                1000 * (i + 1) if kind != "image" else None,
+                None,
+                None,
+                1000 * (i + 1),
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -336,3 +336,148 @@ def test_dataset_ops(spark):
     pairs = ds.contamination_pairs(train, bench, min_overlap=2).toPandas()
     assert len(pairs) == 1
     assert pairs.iloc[0]["train_id"] == 1 and pairs.iloc[0]["bench_id"] == 100
+
+
+def test_png_codec_roundtrip_filters_and_colortypes():
+    """Real PNG path (D2): encode/decode roundtrip is pixel-exact; the
+    decoder handles all five scanline filters (forward-filtered in the test)
+    and gray/palette/RGBA color types built chunk-by-chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from medical_ocr_service_spark.operators import multimodal as mm
+
+    arr = np.stack(
+        [
+            (np.mgrid[0:37, 0:53][0] * 3 % 256),
+            (np.mgrid[0:37, 0:53][1] * 5 % 256),
+            ((np.mgrid[0:37, 0:53][0] + 7) % 256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    w, h, back = mm.decode_png(mm.encode_png(arr))
+    assert (w, h) == (53, 37) and np.array_equal(arr, back)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    def forward_filter(a, f):
+        hh, ww = a.shape[:2]
+        bpp = 3
+        raw = a.reshape(hh, ww * 3).astype(np.int32)
+        rows, prev = [], np.zeros(ww * 3, np.int32)
+        for y in range(hh):
+            cur = raw[y]
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = (cur - left) % 256
+            elif f == 2:
+                enc = (cur - prev) % 256
+            elif f == 3:
+                enc = (cur - (left + prev) // 2) % 256
+            else:
+                p = left + prev - ul
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                enc = (cur - pred) % 256
+            rows.append(np.concatenate([[f], enc]).astype(np.uint8))
+            prev = cur
+        return np.concatenate(rows).tobytes()
+
+    for f in range(5):
+        png = (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 53, 37, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(forward_filter(arr, f)))
+            + chunk(b"IEND", b"")
+        )
+        _, _, got = mm.decode_png(png)
+        assert np.array_equal(arr, got), f"filter {f}"
+
+    # gray expands to RGB; palette resolves through PLTE; RGBA drops alpha
+    g = (np.arange(20 * 30) % 256).astype(np.uint8).reshape(20, 30)
+    raw = np.zeros((20, 31), np.uint8)
+    raw[:, 1:] = g
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 30, 20, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    _, _, rgb = mm.decode_png(png)
+    assert np.array_equal(rgb[..., 0], g) and np.array_equal(rgb[..., 2], g)
+
+    plte = (np.arange(256 * 3) % 256).astype(np.uint8)
+    idx = (np.arange(15 * 10) % 256).astype(np.uint8).reshape(15, 10)
+    raw = np.zeros((15, 11), np.uint8)
+    raw[:, 1:] = idx
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 15, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    _, _, rgb = mm.decode_png(png)
+    assert np.array_equal(rgb, plte.reshape(-1, 3)[idx])
+
+    rgba = np.random.default_rng(0).integers(0, 256, (8, 9, 4), dtype=np.uint8)
+    raw = np.zeros((8, 9 * 4 + 1), np.uint8)
+    raw[:, 1:] = rgba.reshape(8, -1)
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 8, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    _, _, rgb = mm.decode_png(png)
+    assert np.array_equal(rgb, rgba[..., :3])
+
+    # loud rejections: bad signature, interlaced, 16-bit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JUNK" * 8)
+    png16 = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+    with _pytest.raises(ValueError, match="8-bit"):
+        mm.decode_png(png16)
+
+
+def test_real_png_features_and_compress(spark):
+    import numpy as np
+
+    from medical_ocr_service_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, 60)
+    png = media.filter("mime = 'image/png'")
+    assert png.count() > 0
+    feats = mm.decode_features(png, fake=False).toPandas()
+    # real decode for every png row, gate fires on the under-200px ones
+    assert feats["feat"].map(len).eq(16).all()
+    assert feats["valid"].any() and (~feats["valid"]).any()
+    assert (
+        feats.loc[~feats["valid"], "error"].eq("DIMENSION_OR_SIZE").all()
+    )
+
+    # compression pass halves an oversized PNG and re-encodes real pixels
+    big = mm.gradient_png(900, 700, seed=1)
+    m2 = spark.createDataFrame(
+        [("big", "image", "image/png", big, 900, 700, None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.compress_images(m2, max_bytes=len(big) // 2).toPandas().iloc[0]
+    assert len(out["payload"]) <= len(big) // 2
+    w, h, arr = mm.decode_png(bytes(out["payload"]))
+    assert (w, h) == (out["width"], out["height"]) == (450, 350)
+    assert arr.shape == (350, 450, 3)
