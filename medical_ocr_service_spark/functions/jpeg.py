@@ -1,0 +1,689 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no codec libraries.
+
+The reference validates/compresses JPEG images with sharp
+(/root/reference/src/services/image.service.js:186-240); this module gives the
+Spark multimodal operators (operators/multimodal.py) a REAL pixel path for
+image/jpeg, same as the BMP and PNG codecs beside it.
+
+Scope (honest, loudly gated):
+
+* **decode**: baseline sequential DCT (SOF0), 8-bit, 1-component grayscale or
+  3-component YCbCr, any sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, ...),
+  multiple DQT/DHT segments, restart markers (DRI/RSTn). Progressive (SOF2),
+  arithmetic coding, 12-bit and CMYK raise ValueError with a clear message.
+* **encode**: baseline sequential, quality-scaled Annex-K quantization
+  tables, Annex-K Huffman tables, 4:4:4 (subsample=False) or 4:2:0
+  (subsample=True), grayscale for 2-D input, JFIF APP0 header.
+
+Everything operates on HxWx3 (RGB) or HxW (gray) uint8 numpy arrays. The DCT
+is the exact orthonormal 8x8 transform as two matrix products; entropy coding
+is the canonical Annex-F procedure. Designed for correctness on the
+validation/compression path (documents-scale images), not for codec-grade
+throughput: at 100 TB scale these run Arrow-batched inside mapInPandas where
+the per-image Python cost is amortized per batch and fully data-parallel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants: zigzag order, Annex-K quantization + Huffman tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# ITU T.81 Annex K.1 — luminance / chrominance quantization (natural order)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 Huffman table specs: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT-II matrix: dct(X) = C @ X @ C.T ; idct(Y) = C.T @ Y @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16) * (
+            np.sqrt(1 / 8) if _u == 0 else 0.5
+        )
+
+
+def dct2_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) float spatial -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("ux,nxy,vy->nuv", _C, blocks, _C, optimize=True)
+
+
+def idct2_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) DCT coefficients -> (n, 8, 8) float spatial."""
+    return np.einsum("ux,nuv,vy->nxy", _C, coefs, _C, optimize=True)
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables (canonical, Annex C/F)
+# ---------------------------------------------------------------------------
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode state per T.81 F.2.2.3 (MINCODE/MAXCODE)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+    def write_marker(self, byte: int) -> None:
+        """Byte-align then emit a marker (markers are never stuffed)."""
+        self.align()
+        self.out += bytes([0xFF, byte])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value -> (ssss category, magnitude bits per T.81 F.1.2.1.1)."""
+    if v == 0:
+        return 0, 0
+    t = int(abs(v)).bit_length()
+    return t, v if v >= 0 else v + (1 << t) - 1
+
+
+# ---------------------------------------------------------------------------
+# Color transforms (JFIF / BT.601 full-range)
+# ---------------------------------------------------------------------------
+
+def rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling of an Annex-K table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Edge-pad a 2-D plane to 8-multiples -> ((by*bx), 8, 8) float blocks."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks.astype(np.float64) - 128.0, by, bx
+
+
+def _encode_plane_coefs(plane: np.ndarray, qtab: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """-> (quantized zigzag coefs (n, 64) int, blocks_y, blocks_x)."""
+    blocks, by, bx = _to_blocks(plane)
+    coefs = dct2_blocks(blocks).reshape(-1, 64)
+    q = np.round(coefs / qtab[UNZIGZAG].reshape(1, 64))  # qtab is zigzag order
+    return q[:, ZIGZAG].astype(np.int64), by, bx  # reorder natural -> zigzag
+
+
+def _huff_encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    diff = int(zz[0]) - pred
+    t, bits_ = _magnitude(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits_, t)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        t, bits_ = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(bits_, t)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, qtab_zz: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(v) for v in qtab_zz)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW gray) -> baseline JFIF JPEG bytes.
+
+    subsample=False emits 4:4:4; subsample=True emits 4:2:0 (chroma halved
+    with 2x2 box averaging, the common camera/sharp default).
+    restart_interval > 0 emits a DRI segment and RSTn markers every that
+    many MCUs (DC predictors reset, bitstream byte-aligned)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ql = _quality_scale(QUANT_LUMA, quality)[ZIGZAG]  # zigzag order for DQT
+    qc = _quality_scale(QUANT_CHROMA, quality)[ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes([1, 1, 0]) +
+        struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if not gray:
+        out += _dqt_segment(1, qc)
+
+    # SOF0
+    ncomp = 1 if gray else 3
+    sf_luma = (2, 2) if (subsample and not gray) else (1, 1)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof += bytes([1, sf_luma[0] << 4 | sf_luma[1], 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # SOS
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    # Build the per-MCU block sequence: list of (zigzag_coefs, comp) where
+    # comp 0 = luma, 1/2 = chroma — one flat list drives entropy + RST logic
+    # for every mode (gray, 4:4:4, 4:2:0).
+    mcus: list[list[tuple[np.ndarray, int]]] = []
+    if gray:
+        zz, by, bx = _encode_plane_coefs(arr.astype(np.float64), ql)
+        mcus = [[(zz[i], 0)] for i in range(by * bx)]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        y_p, cb_p, cr_p = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            # pad to even then 2x2 box-average the chroma planes
+            ph, pw = -h % 2, -w % 2
+            if ph or pw:
+                cb_p = np.pad(cb_p, ((0, ph), (0, pw)), mode="edge")
+                cr_p = np.pad(cr_p, ((0, ph), (0, pw)), mode="edge")
+            hh, ww = cb_p.shape
+            cb_p = cb_p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            cr_p = cr_p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            # luma MCU is 16x16: pad luma block grid to even block counts
+            zz_y, by, bx = _encode_plane_coefs(y_p, ql)
+            if by % 2 or bx % 2:
+                grid = zz_y.reshape(by, bx, 64)
+                grid = np.pad(grid, ((0, by % 2), (0, bx % 2), (0, 0)), mode="edge")
+                by, bx = grid.shape[:2]
+                zz_y = grid.reshape(-1, 64)
+            zz_cb, cby, cbx = _encode_plane_coefs(cb_p, qc)
+            zz_cr, _, _ = _encode_plane_coefs(cr_p, qc)
+            for my in range(by // 2):
+                for mx in range(bx // 2):
+                    blocks = [
+                        (zz_y[(my * 2 + dy) * bx + (mx * 2 + dx)], 0)
+                        for dy in range(2)
+                        for dx in range(2)
+                    ]
+                    j = my * cbx + mx
+                    blocks += [(zz_cb[j], 1), (zz_cr[j], 2)]
+                    mcus.append(blocks)
+        else:
+            zz_y, by, bx = _encode_plane_coefs(y_p, ql)
+            zz_cb, _, _ = _encode_plane_coefs(cb_p, qc)
+            zz_cr, _, _ = _encode_plane_coefs(cr_p, qc)
+            mcus = [
+                [(zz_y[i], 0), (zz_cb[i], 1), (zz_cr[i], 2)] for i in range(by * bx)
+            ]
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    for m, blocks in enumerate(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.write_marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0, 0, 0]
+        for zz_blk, comp in blocks:
+            dc, ac = (dc_l, ac_l) if comp == 0 else (dc_c, ac_c)
+            preds[comp] = _huff_encode_block(bw, zz_blk, preds[comp], dc, ac)
+
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def _decode_block(
+    br: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int64)
+    t = dc.decode(br)
+    diff = _extend(br.receive(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index out of range")
+        zz[k] = _extend(br.receive(s), s)
+        k += 1
+    return zz, pred
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """JPEG bytes -> (width, height, HxWx3 uint8 RGB).
+
+    Baseline sequential (SOF0) only; grayscale expanded to RGB. Progressive,
+    arithmetic-coded, 12-bit and 4-component streams raise ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecoder] = {}
+    ac_tabs: dict[int, _HuffDecoder] = {}
+    frame = None  # (h, w, comps) ; comps: list of (cid, hf, vf, tq)
+    dri = 0
+    scan = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        if marker in (0xC3, 0xC5, 0xC7, 0xCB, 0xCD, 0xCF):
+            raise ValueError("non-baseline JPEG coding process not supported")
+        if marker in (0xC9,):
+            raise ValueError("arithmetic-coded JPEG not supported")
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly multiple tables per segment
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(data[p : p + 64], np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tab = np.frombuffer(data[p : p + 128], ">u2").astype(np.int64)
+                    p += 128
+                qtabs[tq] = tab  # zigzag order
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (both sequential DCT huffman)
+            prec, fh, fw, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                hf, vf = hv >> 4, hv & 0x0F
+                if not (1 <= hf <= 2 and 1 <= vf <= 2):
+                    raise ValueError(f"unsupported sampling factors {hf}x{vf}")
+                comps.append((cid, hf, vf, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xC4:  # DHT — possibly multiple tables per segment
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                bits = list(data[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(data[p + 17 : p + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = data[0]
+            sel = []
+            for i in range(ns):
+                cs, td_ta = data[1 + 2 * i], data[2 + 2 * i]
+                sel.append((cs, td_ta >> 4, td_ta & 0x0F))
+            scan_start = pos + 2 + seg_len
+            # end of entropy data = next marker that is not a stuffed zero or
+            # an RSTn (regex instead of a per-byte Python loop)
+            import re
+
+            m = re.search(rb"\xff(?![\x00\xd0-\xd7])", payload[scan_start:])
+            p = scan_start + m.start() if m else len(payload)
+            scan = (sel, payload[scan_start:p])
+            pos = p
+            break
+        pos += 2 + seg_len
+
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS in JPEG stream")
+    fh, fw, comps = frame
+    if fh < 1 or fw < 1:
+        raise ValueError("empty image")
+    sel, entropy = scan
+    if len(sel) != len(comps):
+        raise ValueError("JPEG scan does not cover all components (baseline only)")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+
+    # split entropy data at restart markers, unstuff each segment
+    segments: list[bytes] = []
+    if dri:
+        parts, cur, i = [], bytearray(), 0
+        while i < len(entropy):
+            if entropy[i] == 0xFF and i + 1 < len(entropy):
+                nxt = entropy[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    parts.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+            cur.append(entropy[i])
+            i += 1
+        parts.append(bytes(cur))
+        segments = parts
+    else:
+        segments = [entropy.replace(b"\xff\x00", b"\xff")]
+
+    # per-component block grids (MCU-padded sizes)
+    grids = {}
+    for cid, hf, vf, tq in comps:
+        grids[cid] = np.zeros((mcuy * vf, mcux * hf, 64), np.int64)
+
+    order = []  # scan order within one MCU: (cid, hf, vf, td, ta)
+    comp_by_id = {c[0]: c for c in comps}
+    for cs, td, ta in sel:
+        if cs not in comp_by_id:
+            raise ValueError("scan references unknown component")
+        cid, hf, vf, tq = comp_by_id[cs]
+        order.append((cid, hf, vf, td, ta))
+
+    mcu_per_seg = dri if dri else mcuy * mcux
+    preds = {cid: 0 for cid, *_ in order}
+    mcu = 0
+    for seg in segments:
+        br = _BitReader(seg)
+        preds = {cid: 0 for cid in preds}  # RST resets DC predictors
+        for _ in range(min(mcu_per_seg, mcuy * mcux - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, hf, vf, td, ta in order:
+                if td not in dc_tabs or ta not in ac_tabs:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                for dy in range(vf):
+                    for dx in range(hf):
+                        zz, preds[cid] = _decode_block(
+                            br, dc_tabs[td], ac_tabs[ta], preds[cid]
+                        )
+                        grids[cid][my * vf + dy, mx * hf + dx] = zz
+            mcu += 1
+        if mcu >= mcuy * mcux:
+            break
+    if mcu < mcuy * mcux:
+        raise ValueError("truncated JPEG entropy data (incomplete MCUs)")
+
+    # dequantize + IDCT + assemble planes, then upsample to full resolution
+    planes = {}
+    for cid, hf, vf, tq in comps:
+        if tq not in qtabs:
+            raise ValueError("JPEG frame references missing quantization table")
+        g = grids[cid]
+        by, bx = g.shape[:2]
+        zz = g.reshape(-1, 64)
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[:, ZIGZAG] = zz * qtabs[tq][np.newaxis, :]  # both in zigzag order
+        blocks = idct2_blocks(nat.reshape(-1, 8, 8)) + 128.0
+        plane = (
+            blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        # upsample by pixel replication to the full MCU-padded frame grid
+        ry, rx = vmax // vf, hmax // hf
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[cid] = plane[: fh, : fw]
+
+    vals = [planes[c[0]] for c in comps]
+    if len(vals) == 1:
+        y = np.clip(vals[0].round(), 0, 255).astype(np.uint8)
+        rgb = np.repeat(y[..., np.newaxis], 3, axis=2)
+    else:
+        rgb = ycbcr_to_rgb(np.stack(vals, axis=-1))
+    return fw, fh, np.ascontiguousarray(rgb)

@@ -8,10 +8,15 @@ metadata propagation) is real and tested. Pixel decoding:
   uncompressed BMP (no codec libraries needed);
 * **image/png — REAL**: a pure stdlib(zlib)+numpy codec — 8-bit
   gray/RGB/palette/gray-alpha/RGBA decode with all five scanline filters,
-  8-bit RGB encode. Together these power genuine decode, dimension
-  verification, channel-mean features, nearest-neighbor resize and the
-  >5 MB compression pass (compress_images);
-* remaining codecs (JPEG's DCT+huffman, audio/video containers) are
+  8-bit RGB encode;
+* **image/jpeg — REAL**: a pure numpy baseline JPEG codec
+  (functions/jpeg.py) — SOF0 decode (gray + YCbCr, any 1-2 sampling
+  factors incl. 4:2:0, restart markers, multi-table DQT/DHT) and
+  quality-scaled 4:4:4 / 4:2:0 encode with the Annex-K tables.
+  Together these power genuine decode, dimension verification,
+  channel-mean features, nearest-neighbor resize and the >5 MB
+  compression pass (compress_images) for all three reference formats;
+* remaining payloads (audio/video containers, progressive JPEG) are
   environment-gated: `decode_features` raises NotImplementedError for
   them unless `fake=True`, which substitutes a deterministic synthetic
   decoder so the pipeline shape can still be exercised end-to-end.
@@ -267,8 +272,18 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 # mime -> (decoder, encoder) for the formats with REAL pure-stdlib codecs
-REAL_DECODERS = {"image/bmp": decode_bmp, "image/png": decode_png}
-REAL_ENCODERS = {"image/bmp": encode_bmp, "image/png": encode_png}
+from ..functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+REAL_DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
+}
+REAL_ENCODERS = {
+    "image/bmp": encode_bmp,
+    "image/png": encode_png,
+    "image/jpeg": encode_jpeg,
+}
 
 
 def _raster_features(
@@ -428,26 +443,48 @@ def gradient_png(w: int, h: int, seed: int = 0) -> bytes:
     return encode_png(arr)
 
 
+def gradient_jpeg(w: int, h: int, seed: int = 0) -> bytes:
+    """Deterministic real baseline JPEG: RGB gradient varied by seed
+    (4:2:0 for even seeds, 4:4:4 otherwise — both decode paths stay hot)."""
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [
+            ((x * (seed % 5 + 1)) % 256),
+            ((y * (seed % 7 + 1)) % 256),
+            ((x + y + seed) % 256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg(arr, quality=90, subsample=seed % 2 == 0)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic binary media table for tests. Image rows
-    alternate REAL 24-bit BMP and REAL PNG payloads (decodable, resizable);
-    some PNGs are deliberately under MIN_DIM so the dimension gate fires.
-    Audio/video rows keep opaque bytes under environment-gated mimes."""
+    rotate REAL 24-bit BMP, REAL PNG and REAL baseline JPEG payloads
+    (decodable, resizable); some PNGs are deliberately under MIN_DIM so the
+    dimension gate fires. Audio/video rows keep opaque bytes under
+    environment-gated mimes."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
-            if (i // 3) % 2 == 0:
+            fmt = (i // 3) % 3
+            if fmt == 0:
                 w, h = 200 + (i % 5) * 40, 200 + (i % 4) * 50
                 rows.append(
                     (f"m{i:05d}", "image", "image/bmp", gradient_bmp(w, h, i), w, h, None)
                 )
-            else:
+            elif fmt == 1:
                 # every other PNG is under the 200px gate -> valid=False rows
-                w = (120 if (i // 6) % 2 == 0 else 220) + (i % 5) * 8
-                h = (110 if (i // 6) % 2 == 0 else 210) + (i % 4) * 9
+                w = (120 if (i // 9) % 2 == 0 else 220) + (i % 5) * 8
+                h = (110 if (i // 9) % 2 == 0 else 210) + (i % 4) * 9
                 rows.append(
                     (f"m{i:05d}", "image", "image/png", gradient_png(w, h, i), w, h, None)
+                )
+            else:
+                w, h = 208 + (i % 4) * 24, 200 + (i % 3) * 40
+                rows.append(
+                    (f"m{i:05d}", "image", "image/jpeg", gradient_jpeg(w, h, i), w, h, None)
                 )
             continue
         payload = hashlib.sha256(f"media{i}".encode()).digest() * (i % 7 + 1)
