@@ -23,7 +23,9 @@ Env:
   SPARK_GRAFT_CPUS           full-parallelism level (default 32)
   SPARK_GRAFT_BENCH_N        scaling pair base N (default 4; pair = N -> 4N)
   SPARK_GRAFT_BENCH_SCALING  "0" to skip the scaling pairs
-  SPARK_GRAFT_BENCH_DOCS     extraction corpus size (default 300000)
+  SPARK_GRAFT_BENCH_DOCS     extraction corpus size (default 600000)
+  SPARK_GRAFT_BENCH_SCALE_DOCS corpus size for the scaling-pair legs only
+                             (default 300000; ratio is size-invariant)
   SPARK_GRAFT_BENCH_REPS     timed reps for the full-parallelism run (default 3)
   SPARK_GRAFT_BENCH_PAIRS    interleaved scaling pairs (default 2)
   SPARK_GRAFT_BENCH_BUDGET_S soft wall budget, stop adding pairs (default 1200)
@@ -67,6 +69,13 @@ DIM1536_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DIM1536_DOCS", "100000"))
 # machine's real capacity; the full-CPUS run is still reported as headline
 # throughput.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4"))
+# Doc count for the scaling-pair legs only. The N->4N ratio is
+# throughput-based so the corpus size cancels (r01 measured the same plan
+# at 300k; plan shape is identical — same splits/waves per core); a smaller
+# pair corpus keeps BOTH pairs + the isoload leg inside the budget even
+# when the host is in its slow (bandwidth-degraded) state, where 600k-doc
+# N legs alone would eat the whole pair budget.
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "300000"))
 # Soft wall-clock budget for the whole bench (sec). The scaling loop stops
 # adding pairs once the budget is near so a driver-side timeout still gets a
 # complete JSON line with at least one pair.
@@ -347,6 +356,22 @@ def _corpus_parquet(tmp: str) -> tuple[str, str]:
     )
 
 
+def _scale_corpus_parquet(tmp: str) -> tuple[str, str]:
+    """Corpus for the scaling-pair legs (SCALE_DOCS; cached like the main
+    corpus). Reuses the main corpus when sizes coincide."""
+    if SCALE_DOCS >= N_DOCS:
+        return _corpus_parquet(tmp)
+    from medical_ocr_service_spark.corpus import write as cwrite
+
+    out = os.path.join(tmp, f"bench_corpus_v4_{SCALE_DOCS}")
+    if not os.path.exists(os.path.join(out, "documents_interleaved.parquet")):
+        cwrite.write_corpus(out, n_docs=SCALE_DOCS, with_golden=False)
+    return (
+        os.path.join(out, "documents_interleaved.parquet"),
+        os.path.join(out, "media.parquet"),
+    )
+
+
 def _run_extraction(
     master_cores: int, docs_path: str, media_path: str, reps: int | None = None
 ) -> dict:
@@ -438,38 +463,45 @@ def _scaling_pairs(docs_path: str, media_path: str, n_pairs: int) -> dict:
         # proportionally harder by bursts -> they get an extra rep.
         lo = _run_extraction(SCALE_N, docs_path, media_path, reps=2)
         hi = _run_extraction(4 * SCALE_N, docs_path, media_path, reps=3)
-        # iso-load N leg: same N-core job while the OTHER 4N-N cores run
-        # self-similar copies of the same job (see _selfload docstring).
-        # Both legs then sit at identical full-occupancy host conditions,
-        # as fully-loaded N- and 4N-executor cluster nodes would — so this
-        # ratio is the directly MEASURED job scaling with the single-box
-        # bandwidth/frequency artifact held constant (no probe division).
-        with _selfload(3, SCALE_N, docs_path, media_path):
-            lo_iso = _run_extraction(SCALE_N, docs_path, media_path, reps=2)
-        pairs.append(
-            {
-                "sec_N": lo["sec"],
-                "sec_4N": hi["sec"],
-                "sec_N_isoload": lo_iso["sec"],
-                "docs_per_sec_N": lo["docs_per_sec"],
-                "docs_per_sec_4N": hi["docs_per_sec"],
-                "docs_per_sec_N_isoload": lo_iso["docs_per_sec"],
-                "efficiency": round(
-                    (hi["docs_per_sec"] / lo["docs_per_sec"])
-                    / ((4 * SCALE_N) / SCALE_N),
-                    3,
-                ),
-                "efficiency_isoload": round(
-                    (hi["docs_per_sec"] / lo_iso["docs_per_sec"])
-                    / ((4 * SCALE_N) / SCALE_N),
-                    3,
-                ),
-                "legs_detail": {"N": lo, "4N": hi, "N_isoload": lo_iso},
-            }
-        )
+        # iso-load N leg (first pair only — ~150 s/pair): same N-core job
+        # while the OTHER 4N-N cores run self-similar copies of the same
+        # job (see _selfload docstring). Both legs then sit at identical
+        # full-occupancy host conditions, as fully-loaded N- and
+        # 4N-executor cluster nodes would — so this ratio is the directly
+        # MEASURED job scaling with the single-box bandwidth/frequency
+        # artifact held constant (no probe division).
+        lo_iso = None
+        if not pairs:
+            with _selfload(3, SCALE_N, docs_path, media_path):
+                lo_iso = _run_extraction(SCALE_N, docs_path, media_path, reps=2)
+        entry = {
+            "sec_N": lo["sec"],
+            "sec_4N": hi["sec"],
+            "docs_per_sec_N": lo["docs_per_sec"],
+            "docs_per_sec_4N": hi["docs_per_sec"],
+            "efficiency": round(
+                (hi["docs_per_sec"] / lo["docs_per_sec"])
+                / ((4 * SCALE_N) / SCALE_N),
+                3,
+            ),
+            "legs_detail": {"N": lo, "4N": hi},
+        }
+        if lo_iso is not None:
+            entry["sec_N_isoload"] = lo_iso["sec"]
+            entry["docs_per_sec_N_isoload"] = lo_iso["docs_per_sec"]
+            entry["efficiency_isoload"] = round(
+                (hi["docs_per_sec"] / lo_iso["docs_per_sec"])
+                / ((4 * SCALE_N) / SCALE_N),
+                3,
+            )
+            entry["legs_detail"]["N_isoload"] = lo_iso
+        pairs.append(entry)
     effs = sorted(p["efficiency"] for p in pairs)
     best_n = max(p["docs_per_sec_N"] for p in pairs)
     best_4n = max(p["docs_per_sec_4N"] for p in pairs)
+    iso_rates = [
+        p["docs_per_sec_N_isoload"] for p in pairs if "docs_per_sec_N_isoload" in p
+    ]
     probe = _cpu_capability_probe()
     best_pair = effs[-1]
     return {
@@ -488,7 +520,11 @@ def _scaling_pairs(docs_path: str, media_path: str, n_pairs: int) -> dict:
         #     scaling only, so this can over- or under-correct).
         "scaling_efficiency": best_pair,
         "scaling_efficiency_raw_best_pair": best_pair,
-        "scaling_efficiency_isoload": max(p["efficiency_isoload"] for p in pairs),
+        # isoload N (first pair) against the best 4N leg of the whole run:
+        # both numbers are machine-capability estimates under full occupancy
+        "scaling_efficiency_isoload": (
+            round((best_4n / max(iso_rates)) / 4, 3) if iso_rates else None
+        ),
         "scaling_efficiency_host_normalized": round(
             best_pair / max(probe["machine_scaling_4x"], 1e-9), 3
         ),
@@ -777,24 +813,48 @@ def main() -> None:
             "sec_full": full["sec"],
             "docs_per_sec_full": full["docs_per_sec"],
         }
-        if DO_SCALING:
-            extraction.update(_scaling_pairs(docs_path, media_path, N_PAIRS))
     except Exception as exc:
         result.update({"extraction": {"error": repr(exc)}})
         print(json.dumps(result))
         return
     result["extraction"] = extraction
 
+    # previsacion + production-width legs BEFORE the scaling pairs: the
+    # pairs are the budget hog with their own pair-loop guard, so they get
+    # whatever budget remains instead of starving these short sections
+    # (round-3 run: dim1536 at the tail was skipped by its guard).
     try:
         result["previsacion"] = _run_previsacion(docs_path, media_path)
     except Exception as exc:
         result["previsacion"] = {"error": repr(exc)}
 
-    if DIM1536_DOCS > 0 and time.monotonic() - _T0 < BUDGET_S * 0.85:
+    if DIM1536_DOCS > 0 and time.monotonic() - _T0 < BUDGET_S * 0.6:
         try:
             result["previsacion_dim1536"] = _run_dim1536(tmp)
         except Exception as exc:
             result["previsacion_dim1536"] = {"error": repr(exc)}
+
+    if DO_SCALING:
+        try:
+            # Corpus size for the pair legs, chosen by remaining budget:
+            # the full-size corpus halves the 4N leg's fixed-slack
+            # distortion (see the N_DOCS comment) and is preferred, but in
+            # the host's slow (bandwidth-degraded) state the same legs run
+            # ~1.7x longer and a 600k pair section blows the budget after
+            # one pair (observed: r3 slow-state run got 1 pair, 0.65).
+            # Both pairs + isoload at 600k cost ~30x sec_full; if the
+            # remaining budget can't cover that, drop to SCALE_DOCS — the
+            # N->4N ratio is throughput-based so corpus size cancels (r01
+            # measured the same plan at 300k), and every leg's JSON carries
+            # its own docs count + host evidence either way.
+            remaining = BUDGET_S - (time.monotonic() - _T0)
+            if remaining < 30 * full["sec"] and SCALE_DOCS < N_DOCS:
+                sdocs, smedia = _scale_corpus_parquet(tmp)
+            else:
+                sdocs, smedia = docs_path, media_path
+            extraction.update(_scaling_pairs(sdocs, smedia, N_PAIRS))
+        except Exception as exc:
+            extraction["scaling_error"] = repr(exc)
 
     print(json.dumps(result))
 

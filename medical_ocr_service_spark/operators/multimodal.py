@@ -16,10 +16,15 @@ metadata propagation) is real and tested. Pixel decoding:
   Together these power genuine decode, dimension verification,
   channel-mean features, nearest-neighbor resize and the >5 MB
   compression pass (compress_images) for all three reference formats;
-* remaining payloads (audio/video containers, progressive JPEG) are
-  environment-gated: `decode_features` raises NotImplementedError for
-  them unless `fake=True`, which substitutes a deterministic synthetic
-  decoder so the pipeline shape can still be exercised end-to-end.
+* **audio/wav — REAL**: a pure stdlib+numpy RIFF/WAVE reader (PCM 8/16/32
+  and IEEE float32, any channel count) feeding genuine signal features
+  (duration, RMS, zero-crossing rate, band energies) plus a
+  metadata-consistency check on duration_ms;
+* remaining payloads (video containers, compressed audio, progressive
+  JPEG) are environment-gated: `decode_features` raises
+  NotImplementedError for them unless `fake=True`, which substitutes a
+  deterministic synthetic decoder so the pipeline shape can still be
+  exercised end-to-end.
 
 Reference parity: the reference validates/compresses images with sharp and
 renders PDFs with pdftoppm (/root/reference/src/services/image.service.js:186-240,
@@ -264,6 +269,105 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real audio path: RIFF/WAVE (pure stdlib+numpy — PCM is a plain header +
+# sample raster, like BMP). PCM 8/16/32-bit and IEEE float32, any channels.
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """-> (sample_rate, n_channels, float64 samples in [-1, 1], shape (n, ch))."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < ln:
+                raise ValueError("truncated WAV data chunk")
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk in WAV")
+    audio_format, channels, rate, _, _, bits = fmt
+    if channels < 1 or rate < 1:
+        raise ValueError("bad WAV fmt chunk")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            x = np.frombuffer(data, np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, "<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV format code {audio_format} (PCM/float only)"
+        )
+    n = len(x) // channels
+    return rate, channels, x[: n * channels].reshape(n, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) float in [-1, 1] -> 16-bit PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, np.newaxis]
+    ch = samples.shape[1]
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_features(
+    payload: bytes, meta_duration_ms
+) -> tuple[list[float], bool, str | None]:
+    """Real audio decode: 16 features = [duration, rate, channels, RMS, ZCR,
+    11 band energies]; validity from metadata consistency (declared
+    duration_ms must match the decoded sample count)."""
+    rate, ch, x = decode_wav(payload)
+    dur_ms = round(x.shape[0] / rate * 1000)
+    if meta_duration_ms is not None and abs(meta_duration_ms - dur_ms) > 1:
+        return [], False, "METADATA_DURATION_MISMATCH"
+    mono = x.mean(axis=1)
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+        if len(mono) > 1
+        else 0.0
+    )
+    bands = [
+        float(np.sqrt(np.mean(b**2))) if len(b) else 0.0
+        for b in np.array_split(mono, 11)
+    ]
+    feat = [
+        min(dur_ms / 60000.0, 1.0),
+        min(rate / 48000.0, 1.0),
+        min(ch / 2.0, 1.0),
+        min(rms, 1.0),
+        min(zcr, 1.0),
+        *[min(b, 1.0) for b in bands],
+    ]
+    return feat[:16], True, None
+
+
 def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     h, w = arr.shape[:2]
     yi = np.arange(th) * h // th
@@ -335,6 +439,13 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
                         feat, valid, err = [], False, f"DECODE_ERROR: {exc}"
                     rows.append({**base, "feat": feat, "valid": valid, "error": err})
                     continue
+                if r.kind == "audio" and r.mime == "audio/wav":
+                    try:
+                        feat, valid, err = _wav_features(payload, r.duration_ms)
+                    except Exception as exc:
+                        feat, valid, err = [], False, f"DECODE_ERROR: {exc}"
+                    rows.append({**base, "feat": feat, "valid": valid, "error": err})
+                    continue
                 if not fake:
                     raise NotImplementedError(
                         f"decoding {r.mime!r} requires codec libraries not "
@@ -365,7 +476,7 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 columns=[f.name for f in FEATURES_SCHEMA.fields],
             )
 
-    cols = ["media_id", "kind", "mime", "payload", "width", "height"]
+    cols = ["media_id", "kind", "mime", "payload", "width", "height", "duration_ms"]
     return media.select(*cols).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
@@ -462,8 +573,9 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic binary media table for tests. Image rows
     rotate REAL 24-bit BMP, REAL PNG and REAL baseline JPEG payloads
     (decodable, resizable); some PNGs are deliberately under MIN_DIM so the
-    dimension gate fires. Audio/video rows keep opaque bytes under
-    environment-gated mimes."""
+    dimension gate fires. Audio rows are REAL 16-bit PCM WAV sine sweeps
+    with consistent duration_ms; video rows keep opaque bytes under the
+    environment-gated mime."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -487,12 +599,23 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
                     (f"m{i:05d}", "image", "image/jpeg", gradient_jpeg(w, h, i), w, h, None)
                 )
             continue
+        if kind == "audio":
+            # REAL 16-bit PCM WAV: short sine sweep, freq/length vary by i
+            dur_ms = 200 + (i % 5) * 100
+            rate = 16000
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+            rows.append(
+                (f"m{i:05d}", "audio", "audio/wav", encode_wav(sig, rate),
+                 None, None, dur_ms)
+            )
+            continue
         payload = hashlib.sha256(f"media{i}".encode()).digest() * (i % 7 + 1)
         rows.append(
             (
                 f"m{i:05d}",
                 kind,
-                {"audio": "audio/wav", "video": "video/mp4"}[kind],
+                "video/mp4",
                 payload,
                 None,
                 None,
