@@ -52,6 +52,13 @@ def main() -> None:
         "them up to --max-intentos",
     )
     ap.add_argument("--max-intentos", type=int, default=3)
+    ap.add_argument(
+        "--snapshots",
+        action="store_true",
+        help="store results/quarantine as atomic snapshot commits "
+        "(SnapshotTable): crash-safe resume, time travel, lineage counters "
+        "embedded in each snapshot manifest",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,7 +80,7 @@ def main() -> None:
 
     docs = spark.read.parquet(args.docs)
     media = spark.read.parquet(args.media)
-    ck = CheckpointedExtraction(args.output)
+    ck = CheckpointedExtraction(args.output, snapshots=args.snapshots)
     metrics = ck.run(
         docs,
         media,

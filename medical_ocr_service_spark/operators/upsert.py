@@ -92,6 +92,34 @@ def merge_into_sql(
     )
 
 
+def merge_upsert_snapshot(
+    table,
+    source: DataFrame,
+    keys: list[str],
+    surrogate_id: str | None = None,
+) -> int:
+    """EXECUTABLE MERGE INTO against a SnapshotTable (S2/S8 end-to-end):
+    read the current snapshot, compute the coalesce_upsert result, commit it
+    as one atomic ``overwrite`` snapshot. Readers see the pre-merge table
+    until the commit point, then the post-merge table — the isolation
+    contract of Iceberg's MERGE, realized on the local snapshot substrate
+    (the merge_into_sql text above stays the production-catalog twin).
+
+    Returns the new snapshot id. First merge into an empty table = insert-all.
+    """
+    spark = source.sparkSession
+    target = table.read(spark)
+    if target is None:
+        merged = source
+        if surrogate_id is not None and surrogate_id not in source.columns:
+            merged = source.withColumn(
+                surrogate_id, F.abs(F.xxhash64(*[F.col(k) for k in keys]))
+            )
+    else:
+        merged = coalesce_upsert(target, source, keys, surrogate_id=surrogate_id)
+    return table.commit_overwrite(merged, summary={"operation": "merge_upsert"})
+
+
 def idempotent_result_sink(
     existing: DataFrame | None, incoming: DataFrame, hash_col: str
 ) -> DataFrame:

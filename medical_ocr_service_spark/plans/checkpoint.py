@@ -16,6 +16,15 @@ via df.observe() — the Spark analogue of the reference's per-batch counters
 At 10^12-doc scale the anti-join is a shuffle-free pushdown when the output is
 partitioned by the same doc_id hash-bucket as the input (bucket-join); here we
 rely on AQE planning over parquet.
+
+Two storage substrates (constructor flag):
+  * snapshots=False — plain parquet appends, exactly-once restored by
+    dedup-on-read in results();
+  * snapshots=True  — SnapshotTable (sources/snapshot_table.py): every run is
+    one atomic snapshot commit carrying its lineage counters in the manifest
+    summary; a crashed run commits nothing, resume is re-derived from the last
+    snapshot, and results(snapshot_id=...) time-travels. This is the
+    Iceberg-shaped path the north_rule names.
 """
 
 from __future__ import annotations
@@ -32,21 +41,42 @@ from ..operators import extract
 
 
 class CheckpointedExtraction:
-    """Exactly-once-per-doc extraction with anti-join resume."""
+    """Exactly-once-per-doc extraction with anti-join resume.
 
-    def __init__(self, output_path: str):
+    ``snapshots=True`` stores results + quarantine in SnapshotTable
+    (sources/snapshot_table.py) — atomic snapshot commits with the run's
+    lineage counters embedded in the manifest summary, crash-safe resume
+    (an uncommitted run is INVISIBLE to done_doc_ids, unlike raw parquet
+    appends under commit algorithm v2), and time travel via
+    ``results(snapshot_id=...)``. Default False keeps the plain
+    parquet-append layout (dedup-on-read)."""
+
+    def __init__(self, output_path: str, snapshots: bool = False):
+        from ..sources.snapshot_table import SnapshotTable
+
         self.output_path = output_path
         self.results_path = os.path.join(output_path, "results")
         self.lineage_path = os.path.join(output_path, "_lineage")
         self.quarantine_path = os.path.join(output_path, "_quarantine")
+        self.snapshots = snapshots
+        self._results_tab = SnapshotTable(self.results_path) if snapshots else None
+        self._quar_tab = SnapshotTable(self.quarantine_path) if snapshots else None
 
     # -- state -------------------------------------------------------------
 
-    def done_doc_ids(self, spark: SparkSession) -> DataFrame | None:
+    def _read_results(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        if self.snapshots:
+            return self._results_tab.read(spark, snapshot_id)
         try:
-            return spark.read.parquet(self.results_path).select("doc_id").distinct()
+            return spark.read.parquet(self.results_path)
         except Exception:
             return None  # no snapshot yet
+
+    def done_doc_ids(self, spark: SparkSession) -> DataFrame | None:
+        df = self._read_results(spark)
+        return None if df is None else df.select("doc_id").distinct()
 
     def pending(self, docs: DataFrame) -> DataFrame:
         done = self.done_doc_ids(docs.sparkSession)
@@ -56,10 +86,15 @@ class CheckpointedExtraction:
 
     def quarantine_attempts(self, spark: SparkSession) -> DataFrame | None:
         """(doc_id, intentos) from prior runs' quarantine appends."""
-        try:
-            q = spark.read.parquet(self.quarantine_path)
-        except Exception:
-            return None
+        if self.snapshots:
+            q = self._quar_tab.read(spark)
+            if q is None:
+                return None
+        else:
+            try:
+                q = spark.read.parquet(self.quarantine_path)
+            except Exception:
+                return None
         return q.groupBy("doc_id").agg(
             F.countDistinct("run_id").alias("intentos")
         )
@@ -81,6 +116,13 @@ class CheckpointedExtraction:
             "estado",
             F.when(F.col("intentos") >= max_intentos, "FAILED").otherwise("QUEUED"),
         )
+
+    def snapshot_log(self) -> list[dict]:
+        """Commit history of the results table (snapshots=True only):
+        one entry per run with its embedded lineage counters."""
+        if not self.snapshots:
+            raise ValueError("snapshot_log() requires snapshots=True")
+        return self._results_tab.history()
 
     # -- run ---------------------------------------------------------------
 
@@ -175,23 +217,43 @@ class CheckpointedExtraction:
             F.lit(run_id).alias("run_id"),
             F.lit(run_ts).alias("run_ts"),
         )
-        flat.write.mode("append").parquet(self.results_path)
+        if self.snapshots:
+            # the commit point: lineage counters land INSIDE the snapshot
+            # manifest (summary is evaluated after the data-write action, so
+            # the Observation is populated); a crash before the version-hint
+            # rename leaves the table at the parent snapshot.
+            snapshot_id = self._results_tab.commit_append(
+                flat,
+                summary=lambda: {
+                    **{k: str(v) for k, v in obs.get.items()},
+                    "run_id": run_id,
+                },
+            )
+        else:
+            flat.write.mode("append").parquet(self.results_path)
+            snapshot_id = None
 
         n_quarantined = 0
         if quarantine_df is not None:
             qrows = quarantine_df.withColumn("run_id", F.lit(run_id)).withColumn(
                 "run_ts", F.lit(run_ts)
             )
-            qrows.write.mode("append").parquet(self.quarantine_path)
+            if self.snapshots:
+                self._quar_tab.commit_append(qrows, summary={"run_id": run_id})
+                qall = self._quar_tab.read(spark)
+            else:
+                qrows.write.mode("append").parquet(self.quarantine_path)
+                qall = spark.read.parquet(self.quarantine_path)
             n_quarantined = (
-                spark.read.parquet(self.quarantine_path)
-                .filter(F.col("run_id") == run_id)
+                qall.filter(F.col("run_id") == run_id)
                 .select("doc_id")
                 .distinct()
                 .count()
             )
 
         metrics = dict(obs.get)
+        if snapshot_id is not None:
+            metrics["snapshot_id"] = snapshot_id
         if quarantine:
             metrics["docs_quarantined"] = n_quarantined
         metrics.update(
@@ -206,13 +268,20 @@ class CheckpointedExtraction:
             json.dump(metrics, f, default=str)
         return metrics
 
-    def results(self, spark: SparkSession) -> DataFrame:
+    def results(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
         """Snapshot read with exactly-once semantics: if a crashed run left
         partial/duplicate appends, keep one row per doc_id (latest run wins —
-        the read-side equivalent of Iceberg MERGE)."""
+        the read-side equivalent of Iceberg MERGE). With snapshots=True,
+        ``snapshot_id`` time-travels to any committed snapshot; the dedup
+        window stays as defense-in-depth (duplicates can still arise from
+        two successful non-resume runs over overlapping inputs)."""
         from pyspark.sql import Window
 
-        df = spark.read.parquet(self.results_path)
+        df = self._read_results(spark, snapshot_id)
+        if df is None:
+            raise FileNotFoundError(f"no committed results under {self.results_path}")
         # recency = the run's start timestamp (monotonic across runs), with
         # run_id only as a deterministic tie-break — ordering by the random
         # uuid alone would make "latest wins" a coin flip between runs.

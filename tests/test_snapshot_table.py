@@ -1,0 +1,261 @@
+"""SnapshotTable (Iceberg-shaped commit protocol) + snapshot-checkpointed
+extraction: atomic commits, crash invisibility, time travel, embedded
+lineage counters, optimistic-concurrency conflicts, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark.plans.checkpoint import CheckpointedExtraction
+from medical_ocr_service_spark.sources.snapshot_table import (
+    CommitConflict,
+    SnapshotTable,
+)
+
+
+@pytest.fixture()
+def loaded(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    return docs, media
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, v string")
+
+
+# -- the table format itself -------------------------------------------------
+
+
+def test_append_and_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.read(spark) is None
+    s1 = t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    s2 = t.commit_append(_df(spark, [(3, "c")]))
+    assert (s1, s2) == (1, 2)
+    assert t.read(spark).count() == 3
+    # time travel: snapshot 1 still reads exactly its own file list
+    assert t.read(spark, snapshot_id=1).count() == 2
+    assert sorted(r.id for r in t.read(spark, snapshot_id=1).collect()) == [1, 2]
+
+
+def test_crashed_write_is_invisible(spark, tmp_path):
+    """Data files without a snapshot commit never leak into reads — the
+    property raw parquet appends cannot give."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    # simulate a writer that died after the data write, before the manifest:
+    _df(spark, [(99, "zz")]).write.parquet(os.path.join(t.data_dir, "orphan"))
+    df = t.read(spark)
+    assert df.count() == 1
+    assert df.filter(F.col("id") == 99).count() == 0
+    # vacuum sweeps the orphan
+    deleted = t.vacuum(keep_snapshots=1)
+    assert any("orphan" in p for p in deleted)
+    assert t.read(spark).count() == 1
+
+
+def test_overwrite_and_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]), summary={"rows": 1})
+    t.commit_overwrite(_df(spark, [(7, "x"), (8, "y")]), summary={"rows": 2})
+    assert sorted(r.id for r in t.read(spark).collect()) == [7, 8]
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["append", "overwrite"]
+    assert hist[0]["summary"] == {"rows": 1}
+    assert hist[1]["parent_id"] == 1
+    # old snapshot stays readable until vacuumed
+    assert t.read(spark, snapshot_id=1).count() == 1
+    t.vacuum(keep_snapshots=1)
+    with pytest.raises(Exception):
+        t.read(spark, snapshot_id=1).count()
+
+
+def test_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: a commit based on a stale snapshot is refused."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    base = t.current_snapshot_id()
+    files = t.manifest(base)["files"]
+    new_files = t._write_data(_df(spark, [(2, "b")]))
+    # an interloper commits in between
+    t.commit_append(_df(spark, [(3, "c")]))
+    with pytest.raises(CommitConflict):
+        t._install(base, files + new_files, "append", None, None)
+    # retry against the fresh base succeeds (Iceberg's retry loop)
+    fresh = t.current_snapshot_id()
+    t._install(
+        fresh, t.manifest(fresh)["files"] + new_files, "append", None, None
+    )
+    assert t.read(spark).count() == 3
+
+
+def test_empty_table_schema_preserved(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, [(1, "a")]).limit(0))
+    df = t.read(spark)
+    assert df.count() == 0
+    assert df.columns == ["id", "v"]
+
+
+# -- executable MERGE INTO on the snapshot substrate ---------------------------
+
+
+def test_merge_upsert_snapshot(spark, tmp_path):
+    from medical_ocr_service_spark.operators.upsert import merge_upsert_snapshot
+
+    t = SnapshotTable(str(tmp_path / "dim"))
+    base = spark.createDataFrame(
+        [(10, "RUC1", "Alice", "A1"), (11, "RUC2", "Bob", None)],
+        "id long, ruc string, nombre string, extra string",
+    )
+    t.commit_append(base)
+
+    src = spark.createDataFrame(
+        [("RUC2", None, "B2"), ("RUC9", "Zoe", None)],
+        "ruc string, nombre string, extra string",
+    )
+    sid = merge_upsert_snapshot(t, src, keys=["ruc"], surrogate_id="id")
+    assert sid == 2
+    rows = {r.ruc: r for r in t.read(spark).collect()}
+    assert set(rows) == {"RUC1", "RUC2", "RUC9"}
+    assert rows["RUC1"].nombre == "Alice"          # untouched
+    assert rows["RUC2"].nombre == "Bob"            # COALESCE keeps old non-null
+    assert rows["RUC2"].extra == "B2"              # new non-null wins
+    assert rows["RUC9"].nombre == "Zoe"
+    assert rows["RUC9"].id is not None             # deterministic surrogate
+    # pre-merge state still time-travelable
+    assert t.read(spark, snapshot_id=1).count() == 2
+    # merge is idempotent: same source -> same table
+    merge_upsert_snapshot(t, src, keys=["ruc"], surrogate_id="id")
+    again = {r.ruc: r for r in t.read(spark).collect()}
+    assert {r.ruc: (r.nombre, r.extra, r.id) for r in again.values()} == {
+        r.ruc: (r.nombre, r.extra, r.id) for r in rows.values()
+    }
+
+
+# -- exactly-once streaming sink ----------------------------------------------
+
+
+def test_stream_extraction_snapshot_exactly_once(spark, corpus_dir, tmp_path):
+    from medical_ocr_service_spark.streaming.pipeline import (
+        stream_extraction_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    n = docs.count()
+
+    stream_dir = str(tmp_path / "incoming")
+    docs.repartition(3).write.parquet(stream_dir)
+
+    t = SnapshotTable(str(tmp_path / "results"))
+    q = stream_extraction_snapshot(
+        spark, stream_dir, media, t, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(300)
+    out = t.read(spark)
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    batch_ids = [
+        int(h["summary"]["batch_id"]) for h in t.history()
+        if "batch_id" in h["summary"]
+    ]
+    assert batch_ids == sorted(batch_ids)
+
+    # replay simulation: a FRESH checkpoint re-delivers every batch with the
+    # same deterministic ids; the sink must skip them all (exactly-once)
+    q2 = stream_extraction_snapshot(
+        spark, stream_dir, media, t, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(300)
+    assert t.read(spark).count() == n
+
+
+# -- snapshot-backed checkpointed extraction ----------------------------------
+
+
+def test_snapshot_resume_and_counters(spark, loaded, tmp_path):
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"), snapshots=True)
+    first = docs.filter(F.col("doc_id") < "doc00000150")
+
+    m1 = ck.run(first, media)
+    assert m1["docs_processed"] == 150
+    assert m1["snapshot_id"] == 1
+
+    m2 = ck.run(docs, media)
+    assert m2["docs_processed"] == docs.count() - 150
+    assert m2["snapshot_id"] == 2
+
+    results = ck.results(spark)
+    assert results.count() == docs.count()
+    assert results.select("doc_id").distinct().count() == docs.count()
+
+    # time travel: snapshot 1 = exactly the first run's docs
+    assert ck.results(spark, snapshot_id=1).count() == 150
+
+    # lineage counters embedded in the manifest summaries
+    log = ck.snapshot_log()
+    assert [h["snapshot_id"] for h in log] == [1, 2]
+    assert int(log[0]["summary"]["docs_processed"]) == 150
+    assert int(log[1]["summary"]["docs_processed"]) == docs.count() - 150
+    assert int(log[0]["summary"]["spans_emitted"]) > 0
+    # per-partition lineage: per-file row counts of each commit sum to the
+    # commit's doc count
+    assert log[0]["rows_added"] == 150
+    assert log[1]["rows_added"] == docs.count() - 150
+    assert all(n > 0 for n in log[0]["added_file_rows"].values())
+
+    # idempotent third run: nothing pending
+    m3 = ck.run(docs, media)
+    assert m3["docs_processed"] == 0
+
+
+def test_snapshot_crash_recovery(spark, loaded, tmp_path):
+    """A run that dies mid-action commits NOTHING (vs the append substrate,
+    where partial task files may need dedup-on-read); resume recomputes the
+    full pending set."""
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"), snapshots=True)
+
+    with pytest.raises(Exception):
+        ck.run(docs, media, fail_on="doc00000100")
+
+    assert ck._results_tab.current_snapshot_id() is None
+    assert ck.done_doc_ids(spark) is None  # crashed run invisible
+
+    m = ck.run(docs, media)
+    assert m["docs_processed"] == docs.count()
+    results = ck.results(spark)
+    assert results.count() == docs.count()
+
+
+def test_snapshot_quarantine(spark, tmp_path, corpus_dir):
+    """Quarantine table is snapshot-committed too; retries resume from it."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    # poison one media payload so its doc quarantines
+    bad = media.withColumn(
+        "layout_json",
+        F.when(F.col("doc_id") == "doc00000010", F.lit("{not json")).otherwise(
+            F.col("layout_json")
+        ),
+    )
+    ck = CheckpointedExtraction(str(tmp_path / "out"), snapshots=True)
+    m1 = ck.run(docs, bad, quarantine=True)
+    assert m1["docs_quarantined"] == 1
+    assert m1["docs_processed"] == docs.count() - 1
+
+    failed = ck.failed_docs(spark, max_intentos=3)
+    rows = {r.doc_id: r.estado for r in failed.collect()}
+    assert rows == {"doc00000010": "QUEUED"}
+
+    # retry with healed media: the doc completes and drops from the report
+    m2 = ck.run(docs, media, quarantine=True)
+    assert m2["docs_processed"] == 1
+    assert ck.failed_docs(spark).count() == 0
+    assert ck.results(spark).count() == docs.count()
