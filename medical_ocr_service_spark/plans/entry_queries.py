@@ -1192,6 +1192,55 @@ def s8_coalesce_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s2_snapshot_merge",
+    """
+    WITH t AS (
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      FROM supplier WHERE s_suppkey <= 60),
+    s AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE upper(s_name) END AS s_name,
+             CAST(ROUND(CAST(s_acctbal * 2 AS DECIMAL(18,2)), 2) AS DOUBLE) AS s_acctbal
+      FROM supplier WHERE s_suppkey BETWEEN 31 AND 90)
+    SELECT COALESCE(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+           COALESCE(s.s_name, t.s_name) AS s_name,
+           COALESCE(s.s_acctbal, t.s_acctbal) AS s_acctbal
+    FROM t FULL OUTER JOIN s ON t.s_suppkey = s.s_suppkey
+    """,
+)
+def s2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S2/S8 EXECUTED through the snapshot substrate: commit the
+    target dimension as snapshot 1, run merge_upsert_snapshot (MERGE INTO
+    semantics — matched rows update by per-column COALESCE, misses insert)
+    as an atomic overwrite commit, read the post-merge snapshot back. The
+    oracle replays the same merge as a FULL OUTER JOIN + COALESCE in SQL —
+    so the driver hash gates the whole write->commit->read path, not just
+    the join expression (reference data-ingest.routes.js:125-160)."""
+    import tempfile
+
+    from ..operators.upsert import merge_upsert_snapshot
+    from ..sources.snapshot_table import SnapshotTable
+
+    sup = _t(spark, sf_dir, "supplier")
+    target = sup.filter(F.col("s_suppkey") <= 60).select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    source = sup.filter(F.col("s_suppkey").between(31, 90)).select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.upper("s_name"))
+        .alias("s_name"),
+        F.round((F.col("s_acctbal") * 2).cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("s_acctbal"),
+    )
+    table = SnapshotTable(tempfile.mkdtemp(prefix="snapmerge-"))
+    table.commit_append(target)
+    merge_upsert_snapshot(table, source, keys=["s_suppkey"])
+    return table.read(spark)
+
+
 # ---------------------------------------------------------------------------
 # Round-1 additions: scalar-function coverage + training-data ops
 # ---------------------------------------------------------------------------
@@ -2114,7 +2163,10 @@ _DRIVER_WINDOW: list[str] = [
     "text_token_stats",
     "text_quality_score",
     "length_percentiles",
-    "f4_matricula_validity",
+    # round-3: the snapshot-substrate MERGE path, driver-gated end to end
+    # (displaces trivia f4_matricula_validity — green r02, unchanged — to
+    # the tail)
+    "s2_snapshot_merge",
 ]
 
 
