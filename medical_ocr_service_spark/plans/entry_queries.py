@@ -1140,6 +1140,96 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
 
 
+@query(
+    "f12_cosine_similarity",
+    """
+    SELECT a.vec_id AS vec_id,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def f12_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F12 (embedding.service.js cosine scorer) standalone: pairwise
+    cosine between consecutive embeddings — JVM fold-order dot product
+    (F.aggregate over zip_with), bit-identical to DuckDB's sequential
+    list_dot_product."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z
+    )
+    return a.join(b, "vec_id").select(
+        "vec_id",
+        F.round(
+            dot(to_d(F.col("ea")), to_d(F.col("eb")))
+            / (
+                F.sqrt(dot(to_d(F.col("ea")), to_d(F.col("ea"))))
+                * F.sqrt(dot(to_d(F.col("eb")), to_d(F.col("eb"))))
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+
+
+@query(
+    "f13_trigram_similarity",
+    """
+    WITH pairs AS (
+      SELECT a.doc_id AS doc_id,
+             substr(a.text, 1, 80) AS ta, substr(b.text, 1, 80) AS tb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 200),
+    norm AS (
+      SELECT doc_id,
+             regexp_replace(trim(translate(lower(ta),
+               'áéíóúàèìòùäëïöüâêîôûñ', 'aeiouaeiouaeiouaeioun')), '\\s+', ' ', 'g') AS na,
+             regexp_replace(trim(translate(lower(tb),
+               'áéíóúàèìòùäëïöüâêîôûñ', 'aeiouaeiouaeiouaeioun')), '\\s+', ' ', 'g') AS nb
+      FROM pairs),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(na)-2, 1)+1),
+                              i -> substr(na, CAST(i AS INT), 3)),
+               x -> x <> '')) AS ga,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(nb)-2, 1)+1),
+                              i -> substr(nb, CAST(i AS INT), 3)),
+               x -> x <> '')) AS gb
+      FROM norm)
+    SELECT doc_id,
+           CASE WHEN len(ga) > 0 AND len(gb) > 0
+                     AND len(ga)+len(gb)-len(list_intersect(ga,gb)) > 0
+                THEN ROUND(CAST(len(list_intersect(ga,gb)) AS DOUBLE)
+                           / (len(ga)+len(gb)-len(list_intersect(ga,gb))), 4)
+                ELSE 0.0 END AS trgm_sim
+    FROM grams
+    """,
+)
+def f13_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F13 (pg_trgm similarity, schema_matching.sql:418-428) via the
+    PRODUCTION JVM twin trigram_jaccard_col (whole-stage codegen — the code
+    path the fuzzy matcher cascade actually runs), replayed gram-for-gram in
+    DuckDB list functions."""
+    from ..operators.matching import trigram_jaccard_col
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.substring("text", 1, 80).alias("ta")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.substring("text", 1, 80).alias("tb")
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        F.round(trigram_jaccard_col(F.col("ta"), F.col("tb")), 4).alias("trgm_sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Upsert merge (SURVEY S8)
 # ---------------------------------------------------------------------------
@@ -2159,8 +2249,10 @@ _DRIVER_WINDOW: list[str] = [
     "p7_row_validity_gate",
     "p_dynamic_filters",
     "s8_coalesce_upsert",
-    "lang_id_stopword",
-    "text_token_stats",
+    # round-3 oracle upgrades for F12/F13 (displacing r02-green unchanged
+    # trivia lang_id_stopword / text_token_stats to the tail)
+    "f12_cosine_similarity",
+    "f13_trigram_similarity",
     "text_quality_score",
     "length_percentiles",
     # round-3: the snapshot-substrate MERGE path, driver-gated end to end
