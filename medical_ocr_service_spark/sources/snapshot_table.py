@@ -167,6 +167,42 @@ class SnapshotTable:
         schema_json: str | None,
     ) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
+        # The conflict check + pointer swing must be one atomic step (a bare
+        # check-then-rename has a lost-update window between two writers).
+        # Iceberg delegates this compare-and-swap to the catalog; the
+        # filesystem analogue is an O_CREAT|O_EXCL lock file held across the
+        # critical section. Lock scope is tiny (one stat + two small file
+        # writes), never a Spark action.
+        lock = self.hint_path + ".lock"
+        fd = None
+        deadline = time.monotonic() + 30.0
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock} held >30s — a writer died "
+                        "mid-commit; remove the lock file after verifying no "
+                        "writer is alive"
+                    ) from None
+                time.sleep(0.01)
+        try:
+            return self._install_locked(
+                base_sid, files, operation, summary, schema_json
+            )
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
+    def _install_locked(
+        self,
+        base_sid: int | None,
+        files: list[str],
+        operation: str,
+        summary: dict | None,
+        schema_json: str | None,
+    ) -> int:
         # optimistic concurrency: the table must not have moved since the
         # caller derived `files` from snapshot `base_sid`
         if self.current_snapshot_id() != base_sid:

@@ -101,6 +101,54 @@ def test_empty_table_schema_preserved(spark, tmp_path):
     assert df.columns == ["id", "v"]
 
 
+def test_snapshot_read_keeps_pushdown(spark, tmp_path):
+    """Manifest-file-list reads stay ordinary parquet scans: filters and
+    column pruning must still reach the scan node (the 100 TB contract —
+    a snapshot layer that broke pushdown would re-read full files)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(i, f"v{i}") for i in range(100)]))
+    plan = (
+        t.read(spark).filter(F.col("id") == 7).select("id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,7)]" in plan
+    assert "ReadSchema: struct<id:int>" in plan
+
+
+def test_concurrent_commits_retry(spark, tmp_path):
+    """Two writers race on the same table; the loser retries on
+    CommitConflict (Iceberg's optimistic loop) and no rows are lost."""
+    import threading
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(0, "seed")]))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(lo: int):
+        df = _df(spark, [(lo, "w"), (lo + 1, "w")])
+        barrier.wait()
+        for _ in range(5):
+            try:
+                base = t.current_snapshot_id()
+                files = t.manifest(base)["files"] + t._write_data(df)
+                t._install(base, files, "append", None, df.schema.json())
+                return
+            except CommitConflict:
+                continue
+        errors.append(f"writer {lo} never committed")
+
+    th = [threading.Thread(target=writer, args=(10,)),
+          threading.Thread(target=writer, args=(20,))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errors
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 10, 11, 20, 21]
+    assert t.current_snapshot_id() == 3
+
+
 # -- executable MERGE INTO on the snapshot substrate ---------------------------
 
 
