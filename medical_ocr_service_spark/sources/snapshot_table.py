@@ -129,12 +129,20 @@ class SnapshotTable:
         m = self.manifest(snapshot_id)
         if m is None:
             return None
+        schema = (
+            StructType.fromJson(json.loads(m["schema_json"]))
+            if m.get("schema_json")
+            else None
+        )
         if not m["files"]:
-            if m.get("schema_json"):
-                schema = StructType.fromJson(json.loads(m["schema_json"]))
-                return spark.createDataFrame([], schema)
-            return None
-        return spark.read.parquet(*m["files"])
+            return spark.createDataFrame([], schema) if schema else None
+        if schema is None:
+            return spark.read.parquet(*m["files"])
+        # pin the snapshot's own schema: files from BEFORE an additive
+        # evolution read their missing columns as NULL, and no footer-merge
+        # pass (mergeSchema) is needed — reads stay O(1) in file count
+        # before the scan.
+        return spark.read.schema(schema).parquet(*m["files"])
 
     # -- write -------------------------------------------------------------
 
@@ -249,12 +257,44 @@ class SnapshotTable:
         action can ride inside the commit they describe."""
         base = self.current_snapshot_id()
         prev = self.manifest(base) if base is not None else None
+        schema_json = self._evolve_schema(
+            prev.get("schema_json") if prev else None, df
+        )
         new_files = self._write_data(df)
         files = (prev["files"] if prev else []) + new_files
         return self._install(
             base, files, "append", summary() if callable(summary) else summary,
-            df.schema.json(),
+            schema_json,
         )
+
+    @staticmethod
+    def _evolve_schema(parent_json: str | None, df: DataFrame) -> str:
+        """Additive schema evolution (Iceberg add-column semantics): the new
+        table schema is parent-order columns plus any new columns appended.
+        A type change or column drop is refused — those are destructive
+        rewrites, not appends."""
+        from pyspark.sql.types import StructType
+
+        if parent_json is None:
+            return df.schema.json()
+        parent = StructType.fromJson(json.loads(parent_json))
+        new_by_name = {f.name: f for f in df.schema.fields}
+        for f in parent.fields:
+            nf = new_by_name.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"append drops column '{f.name}'; snapshot appends are "
+                    "additive-only (use commit_overwrite to restructure)"
+                )
+            if nf.dataType != f.dataType:
+                raise ValueError(
+                    f"append changes type of '{f.name}': "
+                    f"{f.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+                )
+        merged = list(parent.fields) + [
+            f for f in df.schema.fields if f.name not in {p.name for p in parent.fields}
+        ]
+        return StructType(merged).json()
 
     def commit_overwrite(self, df: DataFrame, summary=None) -> int:
         """Replace the table contents with df (Iceberg REPLACE / the result
@@ -265,6 +305,27 @@ class SnapshotTable:
         return self._install(
             base, new_files, "overwrite",
             summary() if callable(summary) else summary, df.schema.json(),
+        )
+
+    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
+        """Rewrite the table's data into ~target_file_mb files (Iceberg's
+        rewrite_data_files): streaming / per-run appends accumulate small
+        files whose per-file scan overhead (task setup + footer reads)
+        dominates at scale. One atomic overwrite commit; old files remain
+        time-travelable until vacuum()."""
+        m = self.manifest()
+        if m is None:
+            raise ValueError(f"nothing to compact under {self.root}")
+        total = sum(os.path.getsize(f) for f in m["files"])
+        n_out = max(1, round(total / (target_file_mb * 2**20)))
+        df = self.read(spark).repartition(n_out)
+        return self.commit_overwrite(
+            df,
+            summary={
+                "operation": "compact",
+                "files_before": len(m["files"]),
+                "files_after": n_out,
+            },
         )
 
     # -- maintenance ---------------------------------------------------------

@@ -101,6 +101,44 @@ def test_empty_table_schema_preserved(spark, tmp_path):
     assert df.columns == ["id", "v"]
 
 
+def test_compact_rewrites_small_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    for lo in range(0, 40, 10):
+        t.commit_append(_df(spark, [(lo + i, "x") for i in range(10)]))
+    before = t.manifest()
+    assert len(before["files"]) >= 4
+    t.compact(spark, target_file_mb=128)
+    after = t.manifest()
+    assert after["operation"] == "overwrite"
+    assert len(after["files"]) == 1  # 4 tiny files -> one
+    assert sorted(r.id for r in t.read(spark).collect()) == sorted(
+        list(range(10)) + list(range(10, 20)) + list(range(20, 30)) + list(range(30, 40))
+    )
+    # pre-compaction snapshot still time-travels
+    assert t.read(spark, snapshot_id=before["snapshot_id"]).count() == 40
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double")
+    t.commit_append(evolved)
+    df = t.read(spark)
+    assert df.columns == ["id", "v", "score"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None  # old file reads the new column as NULL
+    assert rows[2].score == 9.5
+    # destructive appends are refused
+    with pytest.raises(ValueError, match="drops column"):
+        t.commit_append(spark.createDataFrame([(3,)], "id int"))
+    with pytest.raises(ValueError, match="changes type"):
+        t.commit_append(
+            spark.createDataFrame(
+                [(3, "c", "oops")], "id int, v string, score string"
+            )
+        )
+
+
 def test_snapshot_read_keeps_pushdown(spark, tmp_path):
     """Manifest-file-list reads stay ordinary parquet scans: filters and
     column pruning must still reach the scan node (the 100 TB contract —
