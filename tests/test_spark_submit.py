@@ -38,6 +38,7 @@ def test_spark_submit_py_files_end_to_end(corpus_dir, tmp_path):
         "--media", f"{corpus_dir}/media.parquet",
         "--output", out,
         "--media-strategy", "broadcast",
+        "--snapshots",
     ]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the only package source
@@ -50,7 +51,12 @@ def test_spark_submit_py_files_end_to_end(corpus_dir, tmp_path):
     rec = json.loads(res.stdout.strip().splitlines()[-1])
     assert rec["docs_processed"] == 300
     assert rec["spans_emitted"] > 0
+    assert rec["snapshot_id"] == 1
     assert os.path.isdir(out)
+    # --snapshots: the run is one atomic snapshot commit whose manifest
+    # carries the lineage counters (version hint + snap json on disk)
+    hint = os.path.join(out, "results", "metadata", "version-hint.text")
+    assert open(hint).read().strip() == "1"
 
     # resume from the same --output: second submission processes 0 docs
     res2 = subprocess.run(
