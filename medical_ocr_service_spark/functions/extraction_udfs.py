@@ -184,6 +184,47 @@ def layout_text_err_udf(layouts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"text": texts, "error": errors}, index=layouts.index)
 
 
+LAYOUT_ENTRIES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(LAYOUT_ENTRIES_TYPE)
+def layout_entries_udf(entries: pd.Series) -> pd.Series:
+    """XY-cut over a per-document LIST of (media_ref, layout_json) entries.
+
+    The co-located extraction plan (extract.reassembled_docs_colocated)
+    aggregates raw layout payloads per doc_id BEFORE any Python stage, because
+    ArrowEvalPython does not propagate the child's hash partitioning — a UDF
+    between a bucketed scan and its groupBy re-introduces the very exchange
+    bucketing removed. Running the parse on the aggregated list keeps the
+    whole plan exchange-free; per-row semantics are identical to
+    layout_text_udf applied to each entry (None payload -> None text).
+    """
+    out = []
+    for ent in entries:
+        if ent is None:
+            out.append(None)
+            continue
+        out.append(
+            [
+                {
+                    "media_ref": e["media_ref"],
+                    "text": None
+                    if e["layout_json"] is None
+                    else _layout_one(e["layout_json"]),
+                }
+                for e in ent
+            ]
+        )
+    return pd.Series(out, index=entries.index, dtype=object)
+
+
 # ---------------------------------------------------------------------------
 # Field extraction + confidence fold
 # ---------------------------------------------------------------------------

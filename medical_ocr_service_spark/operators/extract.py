@@ -178,13 +178,13 @@ def reassembled_docs(
     return _reassemble_cleaned(cleaned)
 
 
-def _reassemble_cleaned(cleaned: DataFrame) -> DataFrame:
-    """groupBy(doc_id) + sort_array reassembly of a cleaned span frame."""
-    agg = cleaned.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-        ).alias("_sorted")
-    )
+def _finish_reassembly(agg: DataFrame) -> DataFrame:
+    """(doc_id, _sorted) -> (doc_id, spans, full_text).
+
+    `_sorted` is the offset-ordered array<struct<offset,kind,text,media_ref>>;
+    this derives the 1-based `order` ranks and the space-joined full_text.
+    Shared tail of the shuffle, salted and co-located reassembly variants.
+    """
     spans = F.transform(
         "_sorted",
         lambda s, i: F.struct(
@@ -206,6 +206,80 @@ def _reassemble_cleaned(cleaned: DataFrame) -> DataFrame:
     )
 
 
+def _reassemble_cleaned(cleaned: DataFrame) -> DataFrame:
+    """groupBy(doc_id) + sort_array reassembly of a cleaned span frame."""
+    agg = cleaned.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ).alias("_sorted")
+    )
+    return _finish_reassembly(agg)
+
+
+def reassembled_docs_colocated(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Shuffle-FREE reassembly for doc_id-co-partitioned inputs.
+
+    The 100 TB plan: when `docs` and `media` are bucketed (Iceberg: hash
+    bucket-partitioned) by doc_id with the same bucket count, this plan has
+    ZERO exchanges — tests/test_extraction.py asserts `Exchange` is absent:
+
+      1. media.groupBy(doc_id) collects RAW (media_ref, layout_json) pairs —
+         pure JVM, satisfied by the bucketing, no shuffle. The layout parse
+         deliberately does NOT run here: ArrowEvalPython drops the child's
+         hash partitioning, so a UDF between the bucketed scan and the
+         groupBy would re-introduce the exchange (measured; see
+         layout_entries_udf).
+      2. sort-merge join docs <- media lists on doc_id ('merge' hint: the
+         per-doc media list is corpus-sized at 10^12 docs — never a
+         broadcast candidate). Both sides share the bucketing: no exchange,
+         only partition-local sorts.
+      3. layout_entries_udf parses the joined lists (post-join Python is
+         harmless — nothing downstream needs a distribution), and a single
+         higher-order transform over the spans ARRAY cleans text spans
+         JVM-side (strip_boilerplate_col inside the lambda) and resolves
+         media spans from the per-doc map. No explode, no re-group: the
+         span array never leaves its row.
+
+    Requires the media sidecar to carry the owner key doc_id (written at
+    ingest — corpus.generator). Unlike media_strategy='denormalized' this IS
+    resume-safe: media rows join on doc_id, so media of already-done
+    (filtered-out) docs simply drops out instead of resurrecting spans.
+
+    Output and semantics are identical to reassembled_docs (golden-equality
+    tested); `order` remains the 1-based offset rank via sort_array.
+    """
+    from ..functions.extraction_udfs import layout_entries_udf
+
+    if "doc_id" not in media.columns:
+        raise ValueError(
+            "reassembled_docs_colocated needs the owner key doc_id in the "
+            "media table (see corpus.generator denormalized sidecar)"
+        )
+    media_lists = media.groupBy("doc_id").agg(
+        F.collect_list(F.struct("media_ref", "layout_json")).alias("_mraw")
+    )
+    joined = (
+        docs.join(media_lists.hint("merge"), "doc_id", "left")
+        .withColumn("_mtxt", F.map_from_entries(layout_entries_udf(F.col("_mraw"))))
+        .drop("_mraw")
+    )
+    cleaned_arr = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            s["kind"].alias("kind"),
+            F.when(
+                s["kind"] == F.lit("text"), strip_boilerplate_col(s["text"])
+            )
+            .otherwise(F.col("_mtxt")[s["media_ref"]])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    agg = joined.select("doc_id", F.sort_array(cleaned_arr).alias("_sorted"))
+    return _finish_reassembly(agg)
+
+
 def extract_documents(
     docs: DataFrame,
     media: DataFrame,
@@ -222,8 +296,6 @@ def extract_documents(
     (reassembled_docs_salted) for corpora with pathological many-span docs;
     ``media_strategy`` as in clean_spans.
     """
-    from .. import config
-
     if salted:
         assembled = reassembled_docs_salted(
             docs, media, media_strategy=media_strategy
@@ -236,7 +308,23 @@ def extract_documents(
     # re-ran each regex per reference — 2x slower end-to-end at 4 cores
     # (90s vs 44s / 300k docs). Compiled re + one pass per doc in an Arrow
     # batch wins for this many-regex-per-row shape.
-    with_fields = assembled.withColumn("fields", extract_fields_udf(F.col("full_text")))
+    return _with_fields(assembled)
+
+
+def extract_documents_colocated(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """extract_documents over the zero-exchange co-located reassembly
+    (reassembled_docs_colocated): same output schema and values, no shuffle
+    anywhere in the plan when both inputs are bucketed by doc_id."""
+    return _with_fields(reassembled_docs_colocated(docs, media))
+
+
+def _with_fields(assembled: DataFrame) -> DataFrame:
+    """Shared tail: structured-field extraction + review flag."""
+    from .. import config
+
+    with_fields = assembled.withColumn(
+        "fields", extract_fields_udf(F.col("full_text"))
+    )
     return with_fields.withColumn(
         "requiere_revision",
         F.col("fields.confianza_extraccion") < F.lit(config.REVIEW_THRESHOLD),
@@ -258,8 +346,6 @@ def extract_documents_quarantine(
       resume (CheckpointedExtraction) naturally retries them next run —
       the Spark analogue of the reference's attempt counter + re-queue.
     """
-    from .. import config
-
     cleaned = clean_spans(docs, media, media_strategy, with_errors=True)
     quarantine = cleaned.filter(F.col("_err").isNotNull()).select(
         "doc_id", "media_ref", F.col("_err").alias("error")
@@ -267,12 +353,7 @@ def extract_documents_quarantine(
     ok = cleaned.drop("_err").join(
         quarantine.select("doc_id").distinct(), "doc_id", "left_anti"
     )
-    assembled = _reassemble_cleaned(ok)
-    with_fields = assembled.withColumn("fields", extract_fields_udf(F.col("full_text")))
-    results = with_fields.withColumn(
-        "requiere_revision",
-        F.col("fields.confianza_extraccion") < F.lit(config.REVIEW_THRESHOLD),
-    )
+    results = _with_fields(_reassemble_cleaned(ok))
     return results, quarantine
 
 
@@ -306,21 +387,4 @@ def reassembled_docs_salted(
     merged = phase1.groupBy("doc_id").agg(
         F.sort_array(F.flatten(F.collect_list("_part"))).alias("_sorted")
     )
-
-    spans = F.transform(
-        "_sorted",
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            (i + 1).cast("int").alias("order"),
-        ),
-    )
-    full_text = F.array_join(
-        F.transform(
-            F.filter("_sorted", lambda s: s["text"].isNotNull() & (s["text"] != "")),
-            lambda s: s["text"],
-        ),
-        " ",
-    )
-    return merged.select("doc_id", spans.alias("spans"), full_text.alias("full_text"))
+    return _finish_reassembly(merged)

@@ -181,6 +181,62 @@ def test_denormalized_requires_owner_keys(spark, loaded):
         )
 
 
+def test_colocated_reassembly_equals_plain(spark, loaded):
+    """The zero-exchange co-located plan (array-native, single-branch) is
+    bit-identical to the shuffle reassembly on unbucketed inputs too."""
+    docs, media, _, _ = loaded
+    cols = ["doc_id", "spans", "full_text"]
+    plain = extract.reassembled_docs(docs, media).select(cols)
+    coloc = extract.reassembled_docs_colocated(docs, media).select(cols)
+    assert plain.exceptAll(coloc).count() == 0
+    assert coloc.exceptAll(plain).count() == 0
+
+
+def test_colocated_requires_owner_key(spark, loaded):
+    docs, media, _, _ = loaded
+    with pytest.raises(ValueError, match="owner key"):
+        extract.reassembled_docs_colocated(docs, media.drop("doc_id"))
+
+
+def test_colocated_bucketed_plan_has_zero_exchanges(spark, loaded, tmp_path):
+    """THE 100 TB claim, asserted on the executed plan: with docs and media
+    bucketed by doc_id (Iceberg bucket-transform analogue), the full
+    extraction — layout parse, boilerplate strip, reassembly, field
+    extraction — contains not a single Exchange (no shuffle, no broadcast).
+    Also re-checks output equality through the bucketed scan."""
+    from medical_ocr_service_spark.sources import bucketed
+
+    docs, media, _, _ = loaded
+    names = bucketed.write_bucketed_corpus(
+        docs, media, n_buckets=4, database="coloc_t", location=str(tmp_path)
+    )
+    try:
+        bdocs, bmedia = bucketed.read_bucketed_corpus(spark, "coloc_t")
+        result = extract.extract_documents_colocated(bdocs, bmedia)
+        plan = result._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # equality through the bucketed scan (drop the bucketed table's
+        # tenant column ordering difference by selecting shared cols)
+        cols = ["doc_id", "spans", "full_text"]
+        ref = extract.reassembled_docs(docs, media).select(cols)
+        got = extract.reassembled_docs_colocated(bdocs, bmedia).select(cols)
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS coloc_t CASCADE")
+
+
+def test_extract_documents_colocated_equals_default(spark, loaded):
+    """Full extract_documents output parity for the co-located variant."""
+    docs, media, _, _ = loaded
+    cols = ["doc_id", "spans", "full_text", "fields", "requiere_revision"]
+    plain = extract.extract_documents(docs, media).select(cols)
+    coloc = extract.extract_documents_colocated(docs, media).select(cols)
+    assert plain.exceptAll(coloc).count() == 0
+    assert coloc.exceptAll(plain).count() == 0
+
+
 def test_strip_boilerplate_col_equals_udf(spark):
     """The JVM higher-order-function strip (strip_boilerplate_col) must agree
     byte-for-byte with the Arrow-UDF reference implementation — including
