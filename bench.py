@@ -628,6 +628,12 @@ def _extract_worker(master_cores: int, docs_path: str, media_path: str) -> dict:
         # single sample can be off by 2-4x. Each rep carries its own host
         # evidence: pinned-core busy/steal from /proc/stat over the rep
         # window, plus child (JVM+Python) CPU core-seconds.
+        # Cumulative rep cap: in the host's deep slow state a single rep can
+        # run 3-5x long; without a cap the 3-rep full-extraction section
+        # alone ate ~470 s of the budget and starved the scaling pairs (the
+        # graded criterion) down to one pair. min-of-reps stays valid with
+        # fewer reps; all_secs records how many actually ran.
+        rep_cap_s = float(os.environ.get("SPARK_GRAFT_BENCH_REP_CAP_S", "200"))
         reps_detail = []
         windows: list[tuple[float, float]] = []
         times = []
@@ -648,6 +654,8 @@ def _extract_worker(master_cores: int, docs_path: str, media_path: str) -> dict:
             }
             reps_detail.append(detail)
             times.append(dt)
+            if sum(times) > rep_cap_s:
+                break
     finally:
         spark.stop()
     stage_reps = _parse_event_log(evdir, windows)
@@ -820,21 +828,13 @@ def main() -> None:
         return
     result["extraction"] = extraction
 
-    # previsacion + production-width legs BEFORE the scaling pairs: the
-    # pairs are the budget hog with their own pair-loop guard, so they get
-    # whatever budget remains instead of starving these short sections
-    # (round-3 run: dim1536 at the tail was skipped by its guard).
-    try:
-        result["previsacion"] = _run_previsacion(docs_path, media_path)
-    except Exception as exc:
-        result["previsacion"] = {"error": repr(exc)}
-
-    if DIM1536_DOCS > 0 and time.monotonic() - _T0 < BUDGET_S * 0.6:
-        try:
-            result["previsacion_dim1536"] = _run_dim1536(tmp)
-        except Exception as exc:
-            result["previsacion_dim1536"] = {"error": repr(exc)}
-
+    # Scaling pairs run FIRST after the full-extraction leg: N->4N scaling
+    # efficiency is the graded criterion (north_rule), so in a slow host
+    # state the pairs must not be starved by the supplementary sections.
+    # (A slow-state round-3 run with the old tail ordering got exactly one
+    # pair, raw 0.34, while its isoload read 1.01 — the section order, not
+    # the job, decided the headline.) previsacion and dim-1536 follow with
+    # their own budget guards; in the fast state everything still fits.
     if DO_SCALING:
         try:
             # Corpus size for the pair legs, chosen by remaining budget:
@@ -856,6 +856,20 @@ def main() -> None:
             extraction.update(_scaling_pairs(sdocs, smedia, N_PAIRS))
         except Exception as exc:
             extraction["scaling_error"] = repr(exc)
+
+    if time.monotonic() - _T0 < BUDGET_S * 0.85:
+        try:
+            result["previsacion"] = _run_previsacion(docs_path, media_path)
+        except Exception as exc:
+            result["previsacion"] = {"error": repr(exc)}
+    else:
+        result["previsacion"] = {"skipped": "budget guard (0.85)"}
+
+    if DIM1536_DOCS > 0 and time.monotonic() - _T0 < BUDGET_S * 0.7:
+        try:
+            result["previsacion_dim1536"] = _run_dim1536(tmp)
+        except Exception as exc:
+            result["previsacion_dim1536"] = {"error": repr(exc)}
 
     print(json.dumps(result))
 
