@@ -135,6 +135,7 @@ class CheckpointedExtraction:
         salted: bool = False,
         quarantine: bool = False,
         max_intentos: int = 3,
+        colocated: bool = False,
     ) -> dict:
         """Process pending docs, append results, write lineage. Returns the
         lineage record. `fail_on` (doc_id) injects a mid-run failure for
@@ -148,7 +149,13 @@ class CheckpointedExtraction:
         quarantine table instead of failing the task; each resumed run
         retries them (attempt = distinct run_id in quarantine) until
         ``max_intentos``, after which they are excluded permanently
-        (failed_docs() reports estado FAILED)."""
+        (failed_docs() reports estado FAILED).
+
+        ``colocated=True`` swaps in the zero-exchange co-located plan
+        (extract.extract_documents_colocated) — intended for doc_id-bucketed
+        inputs where it runs shuffle-free; resume-safe because media joins
+        on the owner key doc_id. Mutually exclusive with salted/quarantine
+        (those belong to the groupBy reassembly path)."""
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
         run_ts = time.time()
@@ -158,10 +165,17 @@ class CheckpointedExtraction:
                 "existing snapshot (media rows of already-done docs would "
                 "reappear); use 'join' or 'broadcast'"
             )
+        if colocated and (salted or quarantine):
+            raise ValueError(
+                "colocated=True is the shuffle-free alternative plan; "
+                "salted/quarantine apply to the groupBy reassembly path only"
+            )
         pending = self.pending(docs)
 
         quarantine_df = None
-        if quarantine:
+        if colocated:
+            result = extract.extract_documents_colocated(pending, media)
+        elif quarantine:
             if salted:
                 raise ValueError(
                     "quarantine=True has no salted reassembly path; drop "

@@ -240,3 +240,27 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     assert len(clicks) == 1
     assert clicks.iloc[0]["n"] == 2
     assert clicks.iloc[0]["sum_value"] == 3.0
+
+
+def test_colocated_checkpointed_run_and_resume(spark, loaded, tmp_path):
+    """colocated=True produces the same results table as the default plan
+    and stays resume-safe (media joins on the owner key doc_id, so media of
+    already-done docs drops out instead of resurrecting spans)."""
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"))
+    first_half = docs.filter(F.col("doc_id") < "doc00000150")
+    m1 = ck.run(first_half, media, colocated=True)
+    assert m1["docs_processed"] == 150
+    m2 = ck.run(docs, media, colocated=True)
+    assert m2["docs_processed"] == docs.count() - 150
+
+    ref = CheckpointedExtraction(str(tmp_path / "ref"))
+    ref.run(docs, media)
+    cols = ["doc_id", "spans_json", "full_text", "requiere_revision"]
+    a = ck.results(spark).select(cols)
+    b = ref.results(spark).select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="colocated"):
+        ck.run(docs, media, colocated=True, quarantine=True)
