@@ -857,15 +857,19 @@ def main() -> None:
         except Exception as exc:
             extraction["scaling_error"] = repr(exc)
 
-    if time.monotonic() - _T0 < BUDGET_S * 0.85:
+    # absolute-remaining guards (not fractions): each section needs a fixed
+    # slice regardless of how big the budget is, so "remaining > cost" is
+    # the right shape — fast-state runs fit everything, slow-state runs
+    # shed the supplementary sections instead of the graded ones.
+    if BUDGET_S - (time.monotonic() - _T0) > 180:
         try:
             result["previsacion"] = _run_previsacion(docs_path, media_path)
         except Exception as exc:
             result["previsacion"] = {"error": repr(exc)}
     else:
-        result["previsacion"] = {"skipped": "budget guard (0.85)"}
+        result["previsacion"] = {"skipped": "budget guard (180s floor)"}
 
-    if DIM1536_DOCS > 0 and time.monotonic() - _T0 < BUDGET_S * 0.7:
+    if DIM1536_DOCS > 0 and BUDGET_S - (time.monotonic() - _T0) > 150:
         try:
             result["previsacion_dim1536"] = _run_dim1536(tmp)
         except Exception as exc:
