@@ -106,9 +106,16 @@ def merge_upsert_snapshot(
     (the merge_into_sql text above stays the production-catalog twin).
 
     Returns the new snapshot id. First merge into an empty table = insert-all.
+
+    Optimistic concurrency: the snapshot id is captured BEFORE the read and
+    passed to commit_overwrite as the CAS base, so a concurrent commit
+    landing between the read and the overwrite raises CommitConflict (the
+    caller re-reads and retries) instead of being silently clobbered with
+    data derived from the stale snapshot.
     """
     spark = source.sparkSession
-    target = table.read(spark)
+    base_sid = table.current_snapshot_id()
+    target = table.read(spark, snapshot_id=base_sid)
     if target is None:
         merged = source
         if surrogate_id is not None and surrogate_id not in source.columns:
@@ -117,7 +124,9 @@ def merge_upsert_snapshot(
             )
     else:
         merged = coalesce_upsert(target, source, keys, surrogate_id=surrogate_id)
-    return table.commit_overwrite(merged, summary={"operation": "merge_upsert"})
+    return table.commit_overwrite(
+        merged, summary={"operation": "merge_upsert"}, base_sid=base_sid
+    )
 
 
 def idempotent_result_sink(

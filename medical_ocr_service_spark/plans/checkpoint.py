@@ -74,12 +74,14 @@ class CheckpointedExtraction:
         except Exception:
             return None  # no snapshot yet
 
-    def done_doc_ids(self, spark: SparkSession) -> DataFrame | None:
-        df = self._read_results(spark)
+    def done_doc_ids(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        df = self._read_results(spark, snapshot_id)
         return None if df is None else df.select("doc_id").distinct()
 
-    def pending(self, docs: DataFrame) -> DataFrame:
-        done = self.done_doc_ids(docs.sparkSession)
+    def pending(self, docs: DataFrame, snapshot_id: int | None = None) -> DataFrame:
+        done = self.done_doc_ids(docs.sparkSession, snapshot_id)
         if done is None:
             return docs
         return docs.join(done, "doc_id", "left_anti")
@@ -159,7 +161,17 @@ class CheckpointedExtraction:
         spark = docs.sparkSession
         run_id = uuid.uuid4().hex[:12]
         run_ts = time.time()
-        if media_strategy == "denormalized" and self.done_doc_ids(spark) is not None:
+        # Pin the base snapshot: pending is DERIVED from this read, so the
+        # append commit passes it as the CAS base — a concurrent commit
+        # between the read and the install raises CommitConflict instead of
+        # double-processing docs that writer already completed.
+        base_sid = (
+            self._results_tab.current_snapshot_id() if self.snapshots else None
+        )
+        if (
+            media_strategy == "denormalized"
+            and self.done_doc_ids(spark, base_sid) is not None
+        ):
             raise ValueError(
                 "media_strategy='denormalized' is unsafe when resuming from an "
                 "existing snapshot (media rows of already-done docs would "
@@ -170,7 +182,7 @@ class CheckpointedExtraction:
                 "colocated=True is the shuffle-free alternative plan; "
                 "salted/quarantine apply to the groupBy reassembly path only"
             )
-        pending = self.pending(docs)
+        pending = self.pending(docs, base_sid)
 
         quarantine_df = None
         if colocated:
@@ -242,6 +254,7 @@ class CheckpointedExtraction:
                     **{k: str(v) for k, v in obs.get.items()},
                     "run_id": run_id,
                 },
+                base_sid=base_sid,
             )
         else:
             flat.write.mode("append").parquet(self.results_path)

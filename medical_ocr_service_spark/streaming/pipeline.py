@@ -15,6 +15,8 @@ src/utils/metrics.js:47-58).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,18 +96,69 @@ def stream_extraction_snapshot(
     table,
     checkpoint_path: str,
     available_now: bool = True,
+    compact_every: int | None = 64,
+    assume_replayed_source: bool = False,
 ) -> StreamingQuery:
     """stream_extraction with an EXACTLY-ONCE sink: each micro-batch is one
     atomic SnapshotTable commit tagged with its batch_id.
 
     The plain parquet-append sink above is only at-least-once — a crash
     between the append and the offset commit replays the batch and
-    duplicates its rows. Here replay is detected from the snapshot log
-    (max committed batch_id) and skipped: Structured Streaming's
-    deterministic batch ids + an idempotent sink = end-to-end exactly-once,
-    the documented foreachBatch contract. ``table`` is a
-    sources.snapshot_table.SnapshotTable."""
+    duplicates its rows. Here replay is detected from the max committed
+    batch_id and skipped: Structured Streaming's deterministic batch ids +
+    an idempotent sink = end-to-end exactly-once, the documented
+    foreachBatch contract. ``table`` is a
+    sources.snapshot_table.SnapshotTable.
+
+    The committed-batch watermark is read from the snapshot log ONCE at
+    stream construction and then tracked in a closure cell — NOT re-walked
+    every micro-batch (round-3 verdict #7: history() per batch was
+    O(snapshots) metadata reads per batch, O(snapshots^2) over a stream's
+    lifetime). A restart re-reads the log once, which is exactly the replay
+    boundary it needs.
+
+    ``compact_every``: every K commits the sink compacts the table —
+    rewriting small per-batch files AND resetting the manifest delta chain,
+    so a long-lived stream's file count and metadata stay bounded (verdict
+    #8). The compaction commit carries the watermark forward in its summary
+    so a post-vacuum restart still finds it. None disables.
+
+    CONTRACT: ``checkpoint_path`` must be stable for the table's lifetime.
+    Structured Streaming's batch ids restart from 0 with a fresh checkpoint
+    directory, so pointing a new checkpoint at an existing table would make
+    genuinely new batches look like replays and drop them silently. The
+    sink enforces this by refusing a table whose max committed batch_id is
+    ahead while the checkpoint directory does not exist yet;
+    ``assume_replayed_source=True`` bypasses the check for the one case
+    where a fresh checkpoint IS a replay — the same source directory,
+    unchanged, re-delivered with the same deterministic batch ids (replay
+    simulation in tests / disaster recovery of a lost checkpoint over an
+    immutable source)."""
     from ..operators import extract
+
+    def _max_committed() -> int | None:
+        ids = [
+            int(h["summary"]["batch_id"])
+            for h in table.history()
+            if "batch_id" in h.get("summary", {})
+        ]
+        return max(ids) if ids else None
+
+    # one metadata walk at stream start; the closure cell tracks it after
+    watermark = {"batch_id": _max_committed()}
+    if (
+        watermark["batch_id"] is not None
+        and not assume_replayed_source
+        and not os.path.isdir(checkpoint_path)
+    ):
+        raise ValueError(
+            f"table already holds commits up to batch_id="
+            f"{watermark['batch_id']} but checkpoint {checkpoint_path} does "
+            "not exist: a fresh checkpoint restarts batch ids at 0 and the "
+            "idempotent skip would silently drop new data. Reuse the "
+            "original checkpoint directory (it must be stable for the "
+            "table's lifetime) or target a new table."
+        )
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -114,15 +167,11 @@ def stream_extraction_snapshot(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        committed = [
-            int(h["summary"]["batch_id"])
-            for h in table.history()
-            if "batch_id" in h.get("summary", {})
-        ]
-        if committed and batch_id <= max(committed):
+        wm = watermark["batch_id"]
+        if wm is not None and batch_id <= wm:
             return  # replayed batch: already committed, skip idempotently
         result = extract.extract_documents(batch_df, media)
-        table.commit_append(
+        sid = table.commit_append(
             result.select(
                 "doc_id",
                 F.col("spans").cast("string").alias("spans_json"),
@@ -133,6 +182,11 @@ def stream_extraction_snapshot(
             ),
             summary={"batch_id": batch_id},
         )
+        watermark["batch_id"] = batch_id
+        if compact_every and sid % compact_every == 0:
+            # bounded maintenance: K-commit cadence keeps file count and
+            # manifest-chain length O(K); the watermark rides in the summary
+            table.compact(spark, extra_summary={"batch_id": batch_id})
 
     writer = (
         stream.writeStream.foreachBatch(process)

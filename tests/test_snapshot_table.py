@@ -52,8 +52,10 @@ def test_crashed_write_is_invisible(spark, tmp_path):
     df = t.read(spark)
     assert df.count() == 1
     assert df.filter(F.col("id") == 99).count() == 0
-    # vacuum sweeps the orphan
-    deleted = t.vacuum(keep_snapshots=1)
+    # a FRESH orphan is inside the in-flight-commit grace window: kept
+    assert t.vacuum(keep_snapshots=1) == []
+    # past the grace window it is garbage: swept
+    deleted = t.vacuum(keep_snapshots=1, orphan_grace_s=0.0)
     assert any("orphan" in p for p in deleted)
     assert t.read(spark).count() == 1
 
@@ -79,18 +81,59 @@ def test_commit_conflict(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.commit_append(_df(spark, [(1, "a")]))
     base = t.current_snapshot_id()
-    files = t.manifest(base)["files"]
     new_files = t._write_data(_df(spark, [(2, "b")]))
     # an interloper commits in between
     t.commit_append(_df(spark, [(3, "c")]))
     with pytest.raises(CommitConflict):
-        t._install(base, files + new_files, "append", None, None)
+        t._install(base, new_files, "append", None, None)
     # retry against the fresh base succeeds (Iceberg's retry loop)
     fresh = t.current_snapshot_id()
-    t._install(
-        fresh, t.manifest(fresh)["files"] + new_files, "append", None, None
-    )
+    t._install(fresh, new_files, "append", None, None)
     assert t.read(spark).count() == 3
+
+
+def test_commit_overwrite_toctou_conflict(spark, tmp_path):
+    """The round-3 TOCTOU: a writer reads, computes, then commits — a commit
+    landing BETWEEN its read and its overwrite must raise CommitConflict
+    (with the base re-read at commit time it was silently clobbered)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    base = t.current_snapshot_id()  # writer A reads at snapshot 1
+    derived = t.read(spark, snapshot_id=base).withColumn("v", F.lit("A"))
+    t.commit_append(_df(spark, [(2, "b")]))  # writer B lands in between
+    with pytest.raises(CommitConflict):
+        t.commit_overwrite(derived, base_sid=base)
+    # writer B's row was NOT lost
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_merge_upsert_toctou_conflict(spark, tmp_path):
+    """merge_upsert_snapshot passes its read snapshot as the CAS base: an
+    interleaved commit between the merge's read and its overwrite raises
+    CommitConflict instead of clobbering the interloper's rows."""
+    from medical_ocr_service_spark.operators.upsert import merge_upsert_snapshot
+
+    t = SnapshotTable(str(tmp_path / "dim"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    orig_read = t.read
+
+    def racy_read(spark_, snapshot_id=None):
+        df = orig_read(spark_, snapshot_id=snapshot_id)
+        # interloper lands AFTER the merge's read, BEFORE its commit
+        SnapshotTable(t.root).commit_append(_df(spark_, [(5, "e")]))
+        return df
+
+    t.read = racy_read
+    src = _df(spark, [(1, "a2")])
+    with pytest.raises(CommitConflict):
+        merge_upsert_snapshot(t, src, keys=["id"])
+    t.read = orig_read
+    # the interloper's commit survived intact
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 5]
+    # the Iceberg retry loop: re-running the merge against the fresh base works
+    sid = merge_upsert_snapshot(t, src, keys=["id"])
+    rows = {r.id: r.v for r in t.read(spark, snapshot_id=sid).collect()}
+    assert rows == {1: "a2", 5: "e"}
 
 
 def test_empty_table_schema_preserved(spark, tmp_path):
@@ -106,7 +149,9 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     for lo in range(0, 40, 10):
         t.commit_append(_df(spark, [(lo + i, "x") for i in range(10)]))
     before = t.manifest()
-    assert len(before["files"]) >= 4
+    assert len(t.files()) >= 4
+    # append manifests are deltas: each carries only its own files
+    assert "files" not in before and len(before["added"]) < len(t.files())
     t.compact(spark, target_file_mb=128)
     after = t.manifest()
     assert after["operation"] == "overwrite"
@@ -169,8 +214,8 @@ def test_concurrent_commits_retry(spark, tmp_path):
         for _ in range(5):
             try:
                 base = t.current_snapshot_id()
-                files = t.manifest(base)["files"] + t._write_data(df)
-                t._install(base, files, "append", None, df.schema.json())
+                added = t._write_data(df)
+                t._install(base, added, "append", None, df.schema.json())
                 return
             except CommitConflict:
                 continue
@@ -253,12 +298,57 @@ def test_stream_extraction_snapshot_exactly_once(spark, corpus_dir, tmp_path):
     assert batch_ids == sorted(batch_ids)
 
     # replay simulation: a FRESH checkpoint re-delivers every batch with the
-    # same deterministic ids; the sink must skip them all (exactly-once)
+    # same deterministic ids; the sink must skip them all (exactly-once).
+    # Without the opt-out the sink refuses the fresh checkpoint outright
+    # (checkpoint_path must be stable for the table's lifetime — a fresh one
+    # would silently drop genuinely NEW data as "replayed").
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_extraction_snapshot(spark, stream_dir, media, t, str(tmp_path / "ck2"))
     q2 = stream_extraction_snapshot(
-        spark, stream_dir, media, t, str(tmp_path / "ck2")
+        spark, stream_dir, media, t, str(tmp_path / "ck2"),
+        assume_replayed_source=True,
     )
     q2.awaitTermination(300)
     assert t.read(spark).count() == n
+
+
+def test_stream_sink_caches_watermark(spark, corpus_dir, tmp_path):
+    """The exactly-once sink reads the snapshot log ONCE at stream start and
+    tracks the committed-batch watermark in a closure — not O(snapshots)
+    metadata reads per micro-batch (round-3 verdict #7)."""
+    from medical_ocr_service_spark.streaming.pipeline import (
+        stream_extraction_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+
+    stream_dir = str(tmp_path / "incoming")
+    # 8 input files at maxFilesPerTrigger=4 -> at least 2 micro-batches
+    docs.repartition(8).write.parquet(stream_dir)
+
+    class CountingTable(SnapshotTable):
+        history_calls = 0
+
+        def history(self):
+            CountingTable.history_calls += 1
+            return super().history()
+
+    t = CountingTable(str(tmp_path / "results"))
+    q = stream_extraction_snapshot(
+        spark, stream_dir, media, t, str(tmp_path / "ck"), compact_every=2
+    )
+    q.awaitTermination(300)
+    hist = t.history()
+    n_batches = len([h for h in hist if h["operation"] == "append"])
+    assert n_batches >= 2
+    # exactly 1 walk at construction (+1 just above for the assertion)
+    assert CountingTable.history_calls == 2
+    assert t.read(spark).count() == docs.count()
+    # auto-compaction fired and carried the watermark in its summary, so a
+    # post-vacuum restart still finds the replay boundary
+    compacts = [h for h in hist if h["summary"].get("operation") == "compact"]
+    assert compacts and "batch_id" in compacts[0]["summary"]
 
 
 # -- snapshot-backed checkpointed extraction ----------------------------------
@@ -345,3 +435,85 @@ def test_snapshot_quarantine(spark, tmp_path, corpus_dir):
     assert m2["docs_processed"] == 1
     assert ck.failed_docs(spark).count() == 0
     assert ck.results(spark).count() == docs.count()
+
+
+# -- vacuum: metadata expiry, orphan grace, stray files ------------------------
+
+
+def test_vacuum_expires_metadata(spark, tmp_path):
+    """vacuum() removes expired snapshots' MANIFESTS with their data
+    (Iceberg expire_snapshots): history() stops at the boundary and a
+    time-travel read of an expired snapshot fails FAST with
+    SnapshotExpired — not a lazy FileNotFound at action time."""
+    from medical_ocr_service_spark.sources.snapshot_table import SnapshotExpired
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.commit_append(_df(spark, [(i, f"v{i}")]), summary={"i": i})
+    t.vacuum(keep_snapshots=2, orphan_grace_s=0.0)
+
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [3, 4]
+    # the boundary manifest records where the expired chain was cut
+    assert hist[0]["parent_id"] is None
+    assert hist[0]["expired_parent"] == 2
+    # kept snapshots read their FULL contents (boundary was made
+    # self-contained before its ancestors were dropped)
+    assert t.read(spark, snapshot_id=3).count() == 3
+    assert t.read(spark).count() == 4
+    for sid in (1, 2):
+        with pytest.raises(SnapshotExpired, match="expired by vacuum"):
+            t.read(spark, snapshot_id=sid)
+    # a snapshot id that never existed is a different error
+    with pytest.raises(ValueError, match="not found"):
+        t.read(spark, snapshot_id=99)
+
+
+def test_vacuum_skips_stray_file_and_inflight(spark, tmp_path):
+    """A stray FILE under data/ must not crash the sweep, and a freshly
+    written unreferenced data dir (a possible in-flight commit that has not
+    taken the lock yet) survives the orphan grace window."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]))
+    with open(os.path.join(t.data_dir, "_stray.txt"), "w") as f:
+        f.write("not a commit dir")
+    # simulate an in-flight writer: data written, lock not yet taken
+    inflight = t._write_data(_df(spark, [(2, "b")]))
+    assert t.vacuum(keep_snapshots=1) == []  # grace window: kept
+    assert all(os.path.exists(p) for p in inflight)
+    # the in-flight writer completes successfully afterwards
+    t._install(t.current_snapshot_id(), inflight, "append", None, None)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    assert os.path.exists(os.path.join(t.data_dir, "_stray.txt"))
+
+
+def test_metadata_grows_linearly(spark, tmp_path):
+    """Delta manifests (round-3 verdict #5/#8): a long-lived table committing
+    per micro-batch accumulates O(commits) metadata bytes, not
+    O(files x snapshots). Each append manifest's size is bounded by its OWN
+    file count, independent of table history length."""
+    import glob
+    import json as _json
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    n = 100
+    rows = [(i, "x") for i in range(n)]
+    df = _df(spark, rows).coalesce(1)
+    for _ in range(n):
+        t.commit_append(df)
+    manifests = sorted(
+        glob.glob(os.path.join(t.meta_dir, "snap-*.json")),
+        key=lambda p: int(os.path.basename(p).split("-")[1]),
+    )
+    assert len(manifests) == n
+    sizes = [os.path.getsize(p) for p in manifests]
+    # constant-size deltas: late manifests are no bigger than early ones
+    assert max(sizes[-10:]) < 2 * max(sizes[:10])
+    # and the total is linear-ish: far below the quadratic full-list layout
+    # (which stores ~k file entries in manifest k: sum ~ n^2/2 entries)
+    with open(manifests[0]) as f:
+        per_commit = len(_json.dumps(_json.load(f)))
+    assert sum(sizes) < 3 * n * per_commit
+    # the materialized view is still correct
+    assert t.read(spark).count() == n * n
+    assert len(t.files()) == n
