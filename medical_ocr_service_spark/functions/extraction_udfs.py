@@ -205,21 +205,39 @@ def layout_entries_udf(entries: pd.Series) -> pd.Series:
     bucketing removed. Running the parse on the aggregated list keeps the
     whole plan exchange-free; per-row semantics are identical to
     layout_text_udf applied to each entry (None payload -> None text).
+
+    Malformed-sidecar tolerance (the output feeds map_from_entries, which
+    FAILS the whole job on duplicate or NULL map keys under Spark's default
+    EXCEPTION dedup policy): entries with a NULL media_ref are dropped, and
+    duplicate media_ref entries collapse to ONE deterministically — the
+    smallest non-null layout_json wins (collect_list order is
+    shuffle-dependent, so "first entry" would be a coin flip across runs).
+    The media sidecar's uniqueness contract makes this a no-op on
+    well-formed input; malformed media now degrades per-doc instead of
+    killing the run.
     """
     out = []
+    _missing = object()
     for ent in entries:
         if ent is None:
             out.append(None)
             continue
+        best: dict = {}
+        for e in ent:
+            mr = e["media_ref"]
+            if mr is None:
+                continue
+            lj = e["layout_json"]
+            cur = best.get(mr, _missing)
+            if cur is _missing or (lj is not None and (cur is None or lj < cur)):
+                best[mr] = lj
         out.append(
             [
                 {
-                    "media_ref": e["media_ref"],
-                    "text": None
-                    if e["layout_json"] is None
-                    else _layout_one(e["layout_json"]),
+                    "media_ref": mr,
+                    "text": None if lj is None else _layout_one(lj),
                 }
-                for e in ent
+                for mr, lj in best.items()
             ]
         )
     return pd.Series(out, index=entries.index, dtype=object)

@@ -255,6 +255,13 @@ def reassembled_docs_colocated(docs: DataFrame, media: DataFrame) -> DataFrame:
             "reassembled_docs_colocated needs the owner key doc_id in the "
             "media table (see corpus.generator denormalized sidecar)"
         )
+    # Output parity with the default plan: explode() eliminates empty and
+    # NULL span arrays, so the groupBy path emits NO row for a span-less
+    # document — this plan must drop them too (size(NULL) = -1, so one
+    # predicate covers both). Without it, a span-less doc would get a row
+    # with empty spans + fields extracted from '', skewing docs_processed
+    # counters and marking it done under checkpointed resume.
+    docs = docs.filter(F.size("spans") > 0)
     media_lists = media.groupBy("doc_id").agg(
         F.collect_list(F.struct("media_ref", "layout_json")).alias("_mraw")
     )

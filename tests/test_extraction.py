@@ -237,6 +237,54 @@ def test_extract_documents_colocated_equals_default(spark, loaded):
     assert coloc.exceptAll(plain).count() == 0
 
 
+def test_colocated_drops_spanless_docs_like_default(spark, loaded):
+    """ADVICE r3: explode() eliminates empty/NULL span arrays, so the
+    default plan emits NO row for a span-less document — the co-located
+    plan must drop them identically (not emit a row with fields extracted
+    from ''), or resume would mark them done under one plan only."""
+    docs, media, _, _ = loaded
+    schema = docs.schema
+    degenerate = spark.createDataFrame(
+        [("docEMPTY", [], "tenant-a"), ("docNULL", None, "tenant-a")], schema
+    )
+    patched = docs.limit(5).unionByName(degenerate)
+    for df in (
+        extract.extract_documents(patched, media),
+        extract.extract_documents_colocated(patched, media),
+    ):
+        ids = {r.doc_id for r in df.select("doc_id").collect()}
+        assert "docEMPTY" not in ids and "docNULL" not in ids
+        assert len(ids) == 5
+
+
+def test_colocated_tolerates_duplicate_and_null_media_ref(spark, loaded):
+    """ADVICE r3: map_from_entries fails the whole job on duplicate or NULL
+    map keys (spark.sql.mapKeyDedupPolicy=EXCEPTION default). A malformed
+    media sidecar must degrade per-doc instead: NULL media_ref entries are
+    dropped and duplicates collapse deterministically (smallest non-null
+    layout_json wins, independent of collect_list arrival order)."""
+    docs, media, _, _ = loaded
+    some = docs.limit(8)
+    msub = media.join(some.select("doc_id"), "doc_id", "left_semi")
+    one = msub.limit(1)
+    # valid-JSON duplicate that sorts strictly AFTER the original (original
+    # is its proper prefix), so the deterministic min keeps the original
+    dup_hi = one.withColumn("layout_json", F.concat("layout_json", F.lit(" ")))
+    nullref = one.withColumn("media_ref", F.lit(None).cast("string"))
+    malformed = msub.unionByName(dup_hi).unionByName(nullref)
+
+    clean = extract.extract_documents_colocated(some, msub).select(
+        "doc_id", "spans", "full_text"
+    )
+    got = extract.extract_documents_colocated(some, malformed).select(
+        "doc_id", "spans", "full_text"
+    )
+    # the original (smaller) layout_json wins over the 'zzz' dup; the NULL
+    # ref entry is ignored -> output identical to the well-formed sidecar
+    assert clean.exceptAll(got).count() == 0
+    assert got.exceptAll(clean).count() == 0
+
+
 def test_strip_boilerplate_col_equals_udf(spark):
     """The JVM higher-order-function strip (strip_boilerplate_col) must agree
     byte-for-byte with the Arrow-UDF reference implementation — including
