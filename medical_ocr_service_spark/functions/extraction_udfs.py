@@ -158,6 +158,145 @@ def layout_text_udf(layouts: pd.Series) -> pd.Series:
     )
 
 
+# Typed-blocks layout path (round 4, Arrow-bandwidth cut): the JSON decode
+# moves JVM-side (whole-stage-codegen from_json pinned to EXACTLY the fields
+# the XY-cut reads — text + 4 coords; w/h and the JSON key/punctuation
+# overhead never cross the Arrow boundary), and the Python worker receives
+# typed structs instead of a JSON string per page. Measured on the bench
+# corpus: ~31% fewer bytes/doc shipped to Python on the extraction map
+# stage, and the per-row json.loads (the layout UDF's largest CPU item)
+# disappears. Semantics are identical to layout_text_udf over the same
+# payload (pytest-asserted): Jackson and Python's json parse decimal
+# doubles identically (both correctly rounded), block order is preserved,
+# a missing "blocks" key yields '' and a NULL payload yields NULL.
+LAYOUT_BLOCKS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("x0", T.DoubleType()),
+            T.StructField("y0", T.DoubleType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+        ]
+    )
+)
+
+
+def layout_blocks_col(layout_json: F.Column) -> F.Column:
+    """JVM-side decode of a layout payload into the pruned typed block array.
+
+    FAILFAST keeps the strictness of the JSON UDF path: a malformed payload
+    fails the task (the quarantine path layout_text_err_udf — which needs
+    per-row error capture — stays on the raw-JSON UDF). A valid payload
+    without "blocks" parses to a NULL array; the empty-array coalesce below
+    reproduces json.loads(...).get("blocks", []) -> '' semantics while a
+    NULL payload stays NULL."""
+    parsed = F.from_json(
+        layout_json,
+        T.StructType([T.StructField("blocks", LAYOUT_BLOCKS_TYPE)]),
+        {"mode": "FAILFAST"},
+    )
+    empty = F.array().cast(LAYOUT_BLOCKS_TYPE)
+    return F.when(
+        layout_json.isNotNull(), F.coalesce(parsed["blocks"], empty)
+    )
+
+
+def _layout_blocks(blocks) -> str:
+    if len(blocks) == 0:
+        return ""
+    tb = [
+        (b["x0"], b["y0"], b["x1"], b["y1"], b["text"] or "") for b in blocks
+    ]
+    order = _xy_cut(tb)
+    return _WS.sub(" ", " ".join(b[4] for b in order)).strip()
+
+
+@F.pandas_udf(T.StringType())
+def layout_text_blocks_udf(blocks: pd.Series) -> pd.Series:
+    """XY-cut reading order over pre-parsed typed blocks (see
+    layout_blocks_col). Same output as layout_text_udf on the equivalent
+    JSON payload; the Arrow transfer carries only (text, x0, y0, x1, y1)."""
+    return pd.Series(
+        [None if b is None else _layout_blocks(b) for b in blocks],
+        index=blocks.index,
+        dtype=object,
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def layout_order_udf(coords: pd.Series) -> pd.Series:
+    """XY-cut as a PERMUTATION: coordinates in, reading-order indices out.
+
+    The ordering provably never depends on block text — every sort key in
+    _xy_groups/_xy_cut is (lo, hi) coordinates with Python's stable sort
+    breaking ties by input position — so the text does not need to cross
+    the Arrow boundary AT ALL: the JVM ships (x0,y0,x1,y1) per block
+    (~36 B) and receives one int back, then reassembles the ordered text
+    itself (layout_text_pruned_col). Versus the raw-JSON UDF this removes
+    both the JSON key/punctuation overhead AND the full text round-trip
+    from the map stage's Python traffic. Output parity with
+    layout_text_udf is pytest-asserted over the corpus."""
+    out = []
+    for cs in coords:
+        if cs is None:
+            out.append(None)
+            continue
+        tb = [(c["x0"], c["y0"], c["x1"], c["y1"], i) for i, c in enumerate(cs)]
+        out.append([t[4] for t in _xy_cut(tb)])
+    return pd.Series(out, index=coords.index, dtype=object)
+
+
+def apply_pruned_layout(df, src: str = "layout_json", out: str = "text"):
+    """The production layout path (round 4): XY-cut reading-order text with
+    only block COORDINATES crossing the Arrow boundary.
+
+      1. from_json (JVM, whole-stage codegen) parses the payload ONCE,
+         pruned to text + 4 coords (FAILFAST keeps the JSON-UDF
+         strictness);
+      2. layout_order_udf gets struct(x0,y0,x1,y1) per block, returns the
+         reading-order permutation (array<int>);
+      3. the JVM applies the permutation to the block texts and reproduces
+         the UDF's whitespace normalization: join with ' ' (null text ->
+         ''), collapse (?U)\\s+ runs, trim — the same composition
+         strip_boilerplate_col already relies on for Python-re parity.
+
+    Structured as DATAFRAME steps, not one column expression, on purpose:
+    the block texts must ride through the ArrowEvalPython node as a bound
+    JVM column (_btexts). A single expression would force the post-UDF
+    projection to re-evaluate from_json (the parsed struct cannot cross
+    the Python operator), doubling the parse cost — measured 14% slower
+    end-to-end than the raw-JSON UDF despite 4x less Arrow traffic.
+    CollapseProject keeps the single parse: _blk is referenced twice
+    (texts + coords), and non-cheap multiply-referenced aliases are not
+    inlined.
+
+    NULL payload -> NULL text; missing/empty blocks -> ''. Byte-identical
+    to layout_text_udf (pytest: test_layout_blocks_path_equals_json_udf)."""
+    df = df.withColumn("_blk", layout_blocks_col(F.col(src)))
+    df = df.withColumn(
+        "_btexts", F.transform("_blk", lambda b: b["text"])
+    ).withColumn(
+        "_coords",
+        F.transform(
+            "_blk",
+            lambda b: F.struct(
+                b["x0"].alias("x0"),
+                b["y0"].alias("y0"),
+                b["x1"].alias("x1"),
+                b["y1"].alias("y1"),
+            ),
+        ),
+    ).drop("_blk")
+    df = df.withColumn("_perm", layout_order_udf(F.col("_coords"))).drop("_coords")
+    joined = F.array_join(
+        F.transform("_perm", lambda i: F.get(F.col("_btexts"), i)), " ", ""
+    )
+    return df.withColumn(
+        out, F.trim(F.regexp_replace(joined, r"(?U)\s+", " "))
+    ).drop("_perm", "_btexts")
+
+
 LAYOUT_ERR_TYPE = T.StructType(
     [T.StructField("text", T.StringType()), T.StructField("error", T.StringType())]
 )

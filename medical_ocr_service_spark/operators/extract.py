@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 
 from ..functions.extraction_udfs import (
     extract_fields_udf,
-    layout_text_udf,
     strip_boilerplate_col,
 )
 
@@ -88,7 +87,10 @@ def clean_spans(
     span whose layout payload fails to parse carries the error string
     instead of failing the task; text spans always have ``_err`` NULL.
     """
-    from ..functions.extraction_udfs import layout_text_err_udf
+    from ..functions.extraction_udfs import (
+        apply_pruned_layout,
+        layout_text_err_udf,
+    )
 
     spans = exploded_spans(docs)
 
@@ -101,11 +103,6 @@ def clean_spans(
     )
     if with_errors:
         text_part = text_part.withColumn("_err", F.lit(None).cast("string"))
-        layout = lambda c: layout_text_err_udf(c)  # noqa: E731
-    else:
-        layout = lambda c: F.struct(  # noqa: E731
-            layout_text_udf(c).alias("text"), F.lit(None).cast("string").alias("error")
-        )
     cols = SPAN_COLS + (["_err"] if with_errors else [])
 
     if media_strategy == "denormalized":
@@ -118,7 +115,7 @@ def clean_spans(
         media_part = media.select(
             "doc_id",
             F.lit("media").alias("kind"),
-            layout(F.col("layout_json")).alias("_lt"),
+            "layout_json",
             "media_ref",
             F.col("offset").cast("int").alias("offset"),
         )
@@ -131,13 +128,27 @@ def clean_spans(
             .drop("text")
             # 1:1 join; media_ref is unique on both sides.
             .join(media_dim, "media_ref", "left")
-            .withColumn("_lt", layout(F.col("layout_json")))
-            .drop("layout_json")
         )
-    media_part = media_part.withColumn("text", F.col("_lt.text"))
     if with_errors:
-        media_part = media_part.withColumn("_err", F.col("_lt.error"))
-    media_part = media_part.drop("_lt")
+        # quarantine path (Q3): per-row error capture needs the raw payload
+        # in Python, so it keeps the JSON Arrow UDF
+        media_part = (
+            media_part.withColumn("_lt", layout_text_err_udf(F.col("layout_json")))
+            .withColumn("text", F.col("_lt.text"))
+            .withColumn("_err", F.col("_lt.error"))
+            .drop("_lt", "layout_json")
+        )
+    else:
+        # pruned layout path: JVM from_json decodes the payload once, ONLY
+        # block coordinates cross the Arrow boundary and a permutation
+        # comes back (apply_pruned_layout) — the block text never ships to
+        # Python in either direction, cutting the map stage's Python
+        # traffic ~4x sent / ~12x returned (measured, BENCH/BASELINE.md
+        # round 4) and removing the per-row json.loads worker-side. Byte
+        # parity with the JSON UDF is pytest-asserted.
+        media_part = apply_pruned_layout(media_part, src="layout_json").drop(
+            "layout_json"
+        )
 
     # media branch FIRST: a union stage schedules partitions in branch
     # order, and the media tasks are the slow (Python layout-parse) ones —

@@ -2104,6 +2104,62 @@ def previsacion_golden_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "colocated_extraction_equality",
+    f"""
+    SELECT CAST(0 AS BIGINT) AS row_mismatches,
+           CAST(0 AS BIGINT) AS spanless_rows,
+           CAST({_GOLDEN_NDOCS} AS BIGINT) AS docs
+    """,
+)
+def colocated_extraction_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER gate for the zero-exchange co-located plan (round 4): full
+    extract_documents output of reassembled_docs_colocated must equal the
+    default groupBy plan row-for-row — including span-LESS documents, which
+    both plans must DROP (ADVICE r3: the colocated plan used to emit a row
+    with fields extracted from ''). The comparison corpus therefore gets
+    two degenerate docs (empty and NULL span arrays) appended; the oracle
+    is the zero-mismatch / zero-spanless constant.
+
+    Reference parity: same semantics as the flagship worker loop
+    (/root/reference/src/workers/previsacion.worker.js:18-227) under the
+    bucket-co-located physical layout (sources/bucketed.py)."""
+    import __spark_entry__ as entry_mod
+
+    from ..corpus import generator
+    from ..operators import extract
+
+    docs_df, _ = entry_mod._interleaved_corpus(spark, n_docs=300)
+    degenerate = spark.createDataFrame(
+        [("zz_docEMPTY", []), ("zz_docNULL", None)], docs_df.schema
+    )
+    docs_df = docs_df.unionByName(degenerate)
+    # media sidecar WITH owner keys (doc_id, offset) — the colocated plan
+    # joins on doc_id (corpus.generator denormalized sidecar shape)
+    _, media = generator.synthesize_corpus(300)
+    media_df = spark.createDataFrame(
+        [
+            (m["media_ref"], m["layout_json"], m["width"], m["height"],
+             m["doc_id"], m["offset"])
+            for m in media
+        ],
+        "media_ref string, layout_json string, width int, height int, "
+        "doc_id string, offset int",
+    )
+    cols = ["doc_id", "spans", "full_text", "fields", "requiere_revision"]
+    default = extract.extract_documents(docs_df, media_df).select(cols)
+    coloc = extract.extract_documents_colocated(docs_df, media_df).select(cols)
+    diff = default.exceptAll(coloc).unionByName(coloc.exceptAll(default))
+    spanless = default.unionByName(coloc).filter(
+        F.col("doc_id").startswith("zz_doc")
+    )
+    return (
+        diff.agg(F.count("*").alias("row_mismatches"))
+        .crossJoin(spanless.agg(F.count("*").alias("spanless_rows")))
+        .crossJoin(default.agg(F.count("*").alias("docs")))
+    )
+
+
 @query("extraction_e2e_headers")
 def extraction_e2e_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE flagship, end-to-end (rows-only): synthesized interleaved corpus ->
@@ -2202,63 +2258,62 @@ def s10_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries. Queries past position 50 remain registered (and were each driver-
 # green in r01/r02); they are reachable by pytest and future rotations.
 _DRIVER_WINDOW: list[str] = [
-    # -- never driver-verified (r01+r02 gap) — must be inside the window --
-    "a3_detail_stats",              # FAILED r01; BIGINT-cast fix unproven
-    "extraction_golden_equality",   # golden exceptAll gate
-    "previsacion_golden_equality",  # golden exceptAll gate
-    "minhash_near_dup_pairs",
-    "simhash_near_dup_pairs",
-    "embedding_near_dup_pairs",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "doc_fingerprints",
-    "lang_id_multi",
-    "stopword_punct_features",
-    "f11_json_parse_rescue",
-    "s10_export_join",
-    "j1_exact_shortcircuit",
-    "t8_training_sample_limit",
-    "f2_normalize_for_embedding",
-    "f3_digit_strip",
-    "f7_full_name_concat",
-    "extraction_e2e_headers",       # rows-only by design
-    "extraction_e2e_details",       # rows-only by design
-    # -- previously-green rotation (structural / load-bearing) --
+    # -- round-4 rotation (verdict r3 #4): the 23 queries whose last driver
+    # row is r01/r02 come back through the window so no query's driver
+    # evidence goes more than ~2 rounds stale. All are unchanged + locally
+    # green since their last driver pass.
+    "a2_conditional_counts",
+    "a4_queue_stats",
+    "a6_usage_summary",
+    "a7_daily_breakdown",
+    "a8_hourly_buckets",
+    "a9_quota_check",
+    "a10_recent_windows",
+    "a11_coverage_stats",
+    "f1_normalize_text",
+    "f4_matricula_validity",
+    "f5_date_roundtrip",
+    "f6_id_type_classifier",
+    "f10_base64_roundtrip",
+    "f16_split_normalize",
+    "f22_cost_model",
+    "p4_pagination",
+    "t4_recency_limit",
+    "t5_priority_case_sort",
+    "t6_popularity_topn",
+    "t7_alternatives_slice",
+    "lang_id_stopword",
+    "text_token_stats",
+    "length_histogram",
+    # -- code CHANGED this round -> gates must re-prove under the driver --
+    "extraction_golden_equality",    # layout path reworked (pruned Arrow)
+    "previsacion_golden_equality",   # rides the same extraction lineage
+    "colocated_extraction_equality", # NEW: colocated-plan parity + span-less drop
+    "s2_snapshot_merge",             # snapshot substrate reworked (CAS/deltas)
+    "extraction_e2e_headers",        # rows-only by design
+    "extraction_e2e_details",        # rows-only by design
+    # -- r3-green load-bearing fill: keeps their evidence <=2 rounds old --
     "q1_pricing_summary",
     "a1_customer_rollup",
-    "a5_batch_rollup",
+    "a3_detail_stats",
     "a12_confidence_fold",
-    "a16_group_concat_rollup",
     "t3_latest_argmax",
-    "j5_candidate_payload_join",
-    "j7_header_enrichment",
     "j8_detail_enrichment_3way",
-    "j9_fk_resolution_misses",
     "j11_training_antijoin",
-    "j13_stats_semijoin",
     "ann_cosine_topk",
     "f8_content_hash_dedup",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_near_dup_pairs",
+    "doc_fingerprints",
     "hash_split_train_val_test",
     "pack_sequences",
     "contamination_check",
-    "repetition_quality",
     "pii_scrub",
-    "d4_boilerplate_strip",
-    "p1_tenant_filter",
-    "p6_time_window_filter",
     "p7_row_validity_gate",
-    "p_dynamic_filters",
     "s8_coalesce_upsert",
-    # round-3 oracle upgrades for F12/F13 (displacing r02-green unchanged
-    # trivia lang_id_stopword / text_token_stats to the tail)
-    "f12_cosine_similarity",
-    "f13_trigram_similarity",
-    "text_quality_score",
-    "length_percentiles",
-    # round-3: the snapshot-substrate MERGE path, driver-gated end to end
-    # (displaces trivia f4_matricula_validity — green r02, unchanged — to
-    # the tail)
-    "s2_snapshot_merge",
 ]
 
 

@@ -50,7 +50,14 @@ def get_spark(
         # big enough to amortize per-batch pandas/Arrow overhead. Measured
         # on the extraction pipeline at 16 cores: 4000 beats 1000 by ~17%
         # and 10000 by ~9%.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "4000"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

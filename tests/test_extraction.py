@@ -285,6 +285,42 @@ def test_colocated_tolerates_duplicate_and_null_media_ref(spark, loaded):
     assert got.exceptAll(clean).count() == 0
 
 
+def test_layout_blocks_path_equals_json_udf(spark, loaded):
+    """The typed-blocks layout path (JVM from_json + layout_text_blocks_udf,
+    the Arrow-bandwidth cut) is byte-identical to the raw-JSON reference UDF
+    over the whole corpus sidecar, plus NULL and blockless payloads."""
+    from medical_ocr_service_spark.functions.extraction_udfs import (
+        apply_pruned_layout,
+        layout_blocks_col,
+        layout_text_blocks_udf,
+        layout_text_udf,
+    )
+
+    _, media, _, _ = loaded
+    extra = spark.createDataFrame(
+        [("xnull", None), ("xnoblocks", '{"w": 1, "h": 2}'),
+         ("xempty", '{"blocks": []}')],
+        "media_ref string, layout_json string",
+    )
+    base = media.select("media_ref", "layout_json").unionByName(extra)
+    df = apply_pruned_layout(base, out="pruned").select(
+        "media_ref",
+        layout_text_udf(F.col("layout_json")).alias("ref"),
+        layout_text_blocks_udf(layout_blocks_col(F.col("layout_json"))).alias("got"),
+        "pruned",
+    )
+    bad = df.filter(
+        ~F.col("ref").eqNullSafe(F.col("got"))
+        | ~F.col("ref").eqNullSafe(F.col("pruned"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    byref = {r.media_ref: r for r in df.filter(F.col("media_ref").startswith("x")).collect()}
+    for col in ("got", "pruned"):
+        assert getattr(byref["xnull"], col) is None
+        assert getattr(byref["xnoblocks"], col) == ""
+        assert getattr(byref["xempty"], col) == ""
+
+
 def test_strip_boilerplate_col_equals_udf(spark):
     """The JVM higher-order-function strip (strip_boilerplate_col) must agree
     byte-for-byte with the Arrow-UDF reference implementation — including
