@@ -7,13 +7,23 @@ image/jpeg, same as the BMP and PNG codecs beside it.
 
 Scope (honest, loudly gated):
 
-* **decode**: baseline sequential DCT (SOF0), 8-bit, 1-component grayscale or
-  3-component YCbCr, any sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, ...),
-  multiple DQT/DHT segments, restart markers (DRI/RSTn). Progressive (SOF2),
-  arithmetic coding, 12-bit and CMYK raise ValueError with a clear message.
+* **decode**: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation per ITU T.81 Annex G,
+  round 4: full sharp/libjpeg-default parity for the reference's JPEG
+  intake), 8-bit, 1-component grayscale or 3-component YCbCr, any sampling
+  factors 1-2 (4:4:4, 4:2:2, 4:2:0, ...), multiple DQT/DHT segments,
+  restart markers (DRI/RSTn) in both modes, interleaved and
+  non-interleaved scans. Arithmetic coding, hierarchical/lossless
+  processes, 12-bit and 4-component streams raise ValueError with a clear
+  message.
 * **encode**: baseline sequential, quality-scaled Annex-K quantization
   tables, Annex-K Huffman tables, 4:4:4 (subsample=False) or 4:2:0
-  (subsample=True), grayscale for 2-D input, JFIF APP0 header.
+  (subsample=True), grayscale for 2-D input, JFIF APP0 header. Plus
+  encode_jpeg_progressive: the libjpeg-style 10-scan script (DC + AC
+  spectral bands with successive approximation) — primarily the test
+  vector generator for the progressive decoder; its AC scans use a flat
+  fixed Huffman table (every (run,size) + EOBn symbol at 8 bits) rather
+  than per-scan optimal tables, trading compression for simplicity.
 
 Everything operates on HxWx3 (RGB) or HxW (gray) uint8 numpy arrays. The DCT
 is the exact orthonormal 8x8 transform as two matrix products; entropy coding
@@ -469,6 +479,307 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — the test-vector generator for the
+# progressive decoder below; also a valid standalone encoder.
+# ---------------------------------------------------------------------------
+
+# Flat AC Huffman table for progressive scans: every symbol a progressive AC
+# scan can emit — (run 0-15, size 1-11), EOBn (run 0-14, size 0) and ZRL —
+# at a uniform 8-bit code length (208 of 256 codepoints; the table is
+# deliberately incomplete, which T.81 permits). The Annex-K sequential AC
+# tables lack the EOBn symbols 0x10..0xE0, so they cannot express EOB runs;
+# real progressive encoders build per-scan optimal tables, this one trades
+# compression ratio for a fixed, trivially correct table.
+AC_PROG_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 12)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _flush_eobrun(bw: _BitWriter, ac_codes, state: dict) -> None:
+    """Emit the accumulated EOB run (EOBn symbol + extension bits) followed
+    by the refinement correction bits buffered inside that run."""
+    e = state["eobrun"]
+    if e > 0:
+        r = e.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(e - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        bw.write(b, 1)
+    state["pending"] = []
+
+
+def _enc_dc_first(bw, dc_codes, blk, ci, preds, al) -> None:
+    v = int(blk[0]) >> al  # DC point transform: arithmetic shift (G.1.2.1)
+    diff = v - preds[ci]
+    preds[ci] = v
+    t, bits_ = _magnitude(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits_, t)
+
+
+def _enc_ac_first(bw, ac_codes, blk, ss, se, al, state) -> None:
+    """AC first scan for one block (G.1.2.2: magnitudes truncated toward
+    zero by the point transform; EOB runs accumulated across blocks)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        av = (v if v >= 0 else -v) >> al
+        if av == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_codes, state)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        t, bits_ = _magnitude(av if v >= 0 else -av)
+        code, ln = ac_codes[(r << 4) | t]
+        bw.write(code, ln)
+        bw.write(bits_, t)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_codes, state)
+
+
+def _enc_ac_refine(bw, ac_codes, blk, ss, se, al, state) -> None:
+    """AC refinement scan for one block (G.1.2.3): newly-nonzero coefs get
+    a (run,1) symbol + sign bit; already-nonzero coefs contribute one
+    correction bit each, buffered so they land after the symbol (or EOBn)
+    that covers their position."""
+    p1 = 1 << al
+    absvals = [0] * (se + 1 - ss)
+    eobpos = ss - 1  # position of the LAST newly-nonzero coef in band
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        av = (v if v >= 0 else -v) >> al
+        absvals[k - ss] = av
+        if av == 1:
+            eobpos = k
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        temp = absvals[k - ss]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            _flush_eobrun(bw, ac_codes, state)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if temp > 1:  # already nonzero at the previous precision
+            br_bits.append(temp & 1)
+            continue
+        _flush_eobrun(bw, ac_codes, state)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        state["eobrun"] += 1
+        state["pending"].extend(br_bits)
+        if state["eobrun"] == 0x7FFF or len(state["pending"]) > 937:
+            _flush_eobrun(bw, ac_codes, state)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW gray) -> PROGRESSIVE (SOF2) JFIF JPEG bytes.
+
+    Scan script mirrors libjpeg's default simple progression: interleaved
+    DC at Al=1; luma AC 1-5 then 6-63 at Al=2; chroma AC 1-63 at Al=1; AC
+    refinements down to Al=0; one DC refinement — so a decode exercises
+    every Annex-G procedure (DC/AC x first/refine, EOB runs, ZRL) and the
+    complete progression reconstructs the coefficients EXACTLY, making the
+    output pixel-identical to the baseline encoding of the same image
+    (asserted by tests/test_jpeg.py)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ql = _quality_scale(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _quality_scale(QUANT_CHROMA, quality)[ZIGZAG]
+
+    # --- per-component coefficient grids -----------------------------------
+    # comps: (comp_index, grid(by,bx,64), nby, nbx) where (nby,nbx) are the
+    # NON-interleaved block dims (ceil of the component's true size); the
+    # grid may be larger (MCU padding) and the extra blocks are only coded
+    # by the interleaved DC scan.
+    if gray:
+        zz, by, bx = _encode_plane_coefs(arr.astype(np.float64), ql)
+        comps = [(0, zz.reshape(by, bx, 64), by, bx)]
+        mcuy, mcux = by, bx
+        sf = [(1, 1)]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        y_p, cb_p, cr_p = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            ph, pw = -h % 2, -w % 2
+            if ph or pw:
+                cb_p = np.pad(cb_p, ((0, ph), (0, pw)), mode="edge")
+                cr_p = np.pad(cr_p, ((0, ph), (0, pw)), mode="edge")
+            hh, ww = cb_p.shape
+            cb_p = cb_p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            cr_p = cr_p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            zz_y, by, bx = _encode_plane_coefs(y_p, ql)
+            nby, nbx = by, bx  # true luma block dims before MCU padding
+            if by % 2 or bx % 2:
+                grid = zz_y.reshape(by, bx, 64)
+                grid = np.pad(grid, ((0, by % 2), (0, bx % 2), (0, 0)), mode="edge")
+                by, bx = grid.shape[:2]
+                zz_y = grid.reshape(-1, 64)
+            zz_cb, cby, cbx = _encode_plane_coefs(cb_p, qc)
+            zz_cr, _, _ = _encode_plane_coefs(cr_p, qc)
+            comps = [
+                (0, zz_y.reshape(by, bx, 64), nby, nbx),
+                (1, zz_cb.reshape(cby, cbx, 64), cby, cbx),
+                (2, zz_cr.reshape(cby, cbx, 64), cby, cbx),
+            ]
+            mcuy, mcux = by // 2, bx // 2
+            sf = [(2, 2), (1, 1), (1, 1)]
+        else:
+            zz_y, by, bx = _encode_plane_coefs(y_p, ql)
+            zz_cb, _, _ = _encode_plane_coefs(cb_p, qc)
+            zz_cr, _, _ = _encode_plane_coefs(cr_p, qc)
+            comps = [
+                (0, zz_y.reshape(by, bx, 64), by, bx),
+                (1, zz_cb.reshape(by, bx, 64), by, bx),
+                (2, zz_cr.reshape(by, bx, 64), by, bx),
+            ]
+            mcuy, mcux = by, bx
+            sf = [(1, 1)] * 3
+
+    # --- headers ------------------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes([1, 1, 0]) +
+        struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if not gray:
+        out += _dqt_segment(1, qc)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hf, vf = sf[ci]
+        sof += bytes([ci + 1, hf << 4 | vf, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_PROG_BITS, AC_PROG_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = [
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
+
+    # --- scan script (libjpeg jcparam.c simple progression) -----------------
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    for members, ss, se, ah, al in script:
+        # DC scans use DC table 0 (luma) / 1 (chroma); every AC scan uses
+        # AC table 0 — the flat progressive table emitted above
+        sos = bytes([len(members)])
+        for ci in members:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        bw = _BitWriter()
+        state = {"eobrun": 0, "pending": []}
+        preds = [0, 0, 0]
+        rst = 0
+        interleaved = len(members) > 1
+        if interleaved:
+            total = mcuy * mcux
+        else:
+            _, _, nby, nbx = comps[members[0]]
+            total = nby * nbx
+        for u in range(total):
+            if restart_interval and u and u % restart_interval == 0:
+                _flush_eobrun(bw, ac_codes, state)
+                bw.write_marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0, 0, 0]
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for ci in members:
+                    _, grid, _, _ = comps[ci]
+                    hf, vf = sf[ci]
+                    for dy in range(vf):
+                        for dx in range(hf):
+                            blk = grid[my * vf + dy, mx * hf + dx]
+                            if ah == 0:
+                                _enc_dc_first(bw, dc_codes[min(ci, 1)], blk, ci, preds, al)
+                            else:
+                                bw.write((int(blk[0]) >> al) & 1, 1)
+            else:
+                ci = members[0]
+                _, grid, nby, nbx = comps[ci]
+                blk = grid[u // nbx, u % nbx]
+                if ss == 0:
+                    if ah == 0:
+                        _enc_dc_first(bw, dc_codes[min(ci, 1)], blk, ci, preds, al)
+                    else:
+                        bw.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(bw, ac_codes, blk, ss, se, al, state)
+                else:
+                    _enc_ac_refine(bw, ac_codes, blk, ss, se, al, state)
+        _flush_eobrun(bw, ac_codes, state)
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -497,11 +808,209 @@ def _decode_block(
     return zz, pred
 
 
+def _split_entropy(entropy: bytes, dri: int) -> list[bytes]:
+    """Split entropy data at RSTn markers and unstuff FF00 per segment."""
+    if not dri:
+        return [entropy.replace(b"\xff\x00", b"\xff")]
+    parts, cur, i = [], bytearray(), 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF and i + 1 < len(entropy):
+            nxt = entropy[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                parts.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(entropy[i])
+        i += 1
+    parts.append(bytes(cur))
+    return parts
+
+
+# --- progressive block procedures (T.81 Annex G.2) --------------------------
+
+
+def _dc_first_block(br, dc: _HuffDecoder, blk, cid, preds, al: int) -> None:
+    t = dc.decode(br)
+    diff = _extend(br.receive(t), t) if t else 0
+    preds[cid] += diff
+    blk[0] = preds[cid] << al
+
+
+def _ac_first_block(br, ac: _HuffDecoder, blk, ss, se, al, eobrun: int) -> int:
+    """AC first scan (G.2.1): band [ss,se], values scaled by 2^al; EOBn
+    symbols start a run of end-of-band blocks that persists across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient index out of band")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac: _HuffDecoder, blk, ss, se, al, eobrun: int) -> int:
+    """AC refinement scan (G.2.2): one correction bit per already-nonzero
+    coefficient, new coefficients appear as +-2^al; EOB runs still carry
+    the correction bits of the blocks they cover."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_one_scan(
+    entropy: bytes,
+    order: list,
+    grids: dict,
+    geom: tuple,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    dri: int,
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Execute one scan (sequential full-band, or any progressive scan)
+    against the coefficient grids. ``order``: (cid, hf, vf, td, ta) per
+    scan component; interleaved scans iterate MCUs, single-component scans
+    iterate the component's own (non-MCU-padded) block raster."""
+    fh, fw, hmax, vmax, mcuy, mcux = geom
+    interleaved = len(order) > 1
+    if interleaved:
+        total = mcuy * mcux
+        nbx = 0
+    else:
+        cid0, hf0, vf0, _, _ = order[0]
+        cw = -(-(fw * hf0) // hmax)
+        ch = -(-(fh * vf0) // vmax)
+        nbx = -(-cw // 8)
+        total = nbx * (-(-ch // 8))
+
+    # table presence: only what this scan actually uses
+    for _, _, _, td, ta in order:
+        needs_dc = not progressive or (ss == 0 and ah == 0)
+        needs_ac = not progressive or ss > 0
+        if needs_dc and td not in dc_tabs:
+            raise ValueError("JPEG scan references missing Huffman table")
+        if needs_ac and ta not in ac_tabs:
+            raise ValueError("JPEG scan references missing Huffman table")
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("progressive AC scan must be non-interleaved")
+
+    unit = 0
+    per_seg = dri if dri else total
+    for seg in _split_entropy(entropy, dri):
+        br = _BitReader(seg)
+        preds = {cid: 0 for cid, *_ in order}  # RST resets DC predictors
+        eobrun = 0  # and EOB runs
+        for _ in range(min(per_seg, total - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for cid, hf, vf, td, ta in order:
+                    for dy in range(vf):
+                        for dx in range(hf):
+                            blk = grids[cid][my * vf + dy, mx * hf + dx]
+                            eobrun = _decode_block_any(
+                                br, blk, cid, preds, dc_tabs, ac_tabs, td, ta,
+                                progressive, ss, se, ah, al, eobrun,
+                            )
+            else:
+                cid, hf, vf, td, ta = order[0]
+                blk = grids[cid][unit // nbx, unit % nbx]
+                eobrun = _decode_block_any(
+                    br, blk, cid, preds, dc_tabs, ac_tabs, td, ta,
+                    progressive, ss, se, ah, al, eobrun,
+                )
+            unit += 1
+        if unit >= total:
+            break
+    if unit < total:
+        raise ValueError("truncated JPEG entropy data (incomplete scan)")
+
+
+def _decode_block_any(
+    br, blk, cid, preds, dc_tabs, ac_tabs, td, ta,
+    progressive, ss, se, ah, al, eobrun,
+) -> int:
+    if not progressive:
+        zz, preds[cid] = _decode_block(br, dc_tabs[td], ac_tabs[ta], preds[cid])
+        blk[:] = zz
+        return 0
+    if ss == 0:
+        if ah == 0:
+            _dc_first_block(br, dc_tabs[td], blk, cid, preds, al)
+        elif br.read_bit():  # DC refinement: one bit onto position al
+            blk[0] = int(blk[0]) | (1 << al)
+        return 0
+    if ah == 0:
+        return _ac_first_block(br, ac_tabs[ta], blk, ss, se, al, eobrun)
+    return _ac_refine_block(br, ac_tabs[ta], blk, ss, se, al, eobrun)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """JPEG bytes -> (width, height, HxWx3 uint8 RGB).
 
-    Baseline sequential (SOF0) only; grayscale expanded to RGB. Progressive,
-    arithmetic-coded, 12-bit and 4-component streams raise ValueError."""
+    Baseline sequential (SOF0/1) and progressive (SOF2, spectral selection
+    + successive approximation, Annex G) Huffman processes; grayscale
+    expanded to RGB. Arithmetic-coded, hierarchical/lossless, 12-bit and
+    4-component streams raise ValueError."""
+    import re
+
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -509,8 +1018,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     frame = None  # (h, w, comps) ; comps: list of (cid, hf, vf, tq)
+    progressive = False
     dri = 0
-    scan = None
+    grids: dict | None = None
+    geom = None
+    n_scans = 0
+    n_seq_scans_comps = 0
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -522,14 +1035,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0xD8:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise ValueError("progressive JPEG not supported (baseline only)")
-        if marker in (0xC3, 0xC5, 0xC7, 0xCB, 0xCD, 0xCF):
-            raise ValueError("non-baseline JPEG coding process not supported")
-        if marker in (0xC9,):
+        if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("arithmetic-coded JPEG not supported")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("hierarchical/lossless JPEG process not supported")
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT — possibly multiple tables per segment
@@ -544,7 +1055,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     tab = np.frombuffer(data[p : p + 128], ">u2").astype(np.int64)
                     p += 128
                 qtabs[tq] = tab  # zigzag order
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (both sequential DCT huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
@@ -570,95 +1082,58 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps = frame
+            if fh < 1 or fw < 1:
+                raise ValueError("empty image")
+            if grids is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                geom = (fh, fw, hmax, vmax, mcuy, mcux)
+                grids = {
+                    cid: np.zeros((mcuy * vf, mcux * hf, 64), np.int64)
+                    for cid, hf, vf, _ in comps
+                }
             ns = data[0]
-            sel = []
+            comp_by_id = {c[0]: c for c in comps}
+            order = []
             for i in range(ns):
                 cs, td_ta = data[1 + 2 * i], data[2 + 2 * i]
-                sel.append((cs, td_ta >> 4, td_ta & 0x0F))
+                if cs not in comp_by_id:
+                    raise ValueError("scan references unknown component")
+                cid, hf, vf, _ = comp_by_id[cs]
+                order.append((cid, hf, vf, td_ta >> 4, td_ta & 0x0F))
+            ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline scans are full-band
+                n_seq_scans_comps += ns
+            elif ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
             scan_start = pos + 2 + seg_len
-            # end of entropy data = next marker that is not a stuffed zero or
-            # an RSTn (regex instead of a per-byte Python loop)
-            import re
-
+            # end of entropy data = next marker that is not a stuffed zero
+            # or an RSTn (regex instead of a per-byte Python loop)
             m = re.search(rb"\xff(?![\x00\xd0-\xd7])", payload[scan_start:])
             p = scan_start + m.start() if m else len(payload)
-            scan = (sel, payload[scan_start:p])
+            _decode_one_scan(
+                payload[scan_start:p], order, grids, geom, dc_tabs, ac_tabs,
+                dri, progressive, ss, se, ah, al,
+            )
+            n_scans += 1
             pos = p
-            break
+            continue
         pos += 2 + seg_len
 
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise ValueError("missing SOF/SOS in JPEG stream")
     fh, fw, comps = frame
-    if fh < 1 or fw < 1:
-        raise ValueError("empty image")
-    sel, entropy = scan
-    if len(sel) != len(comps):
-        raise ValueError("JPEG scan does not cover all components (baseline only)")
-
+    if not progressive and n_seq_scans_comps < len(comps):
+        raise ValueError("JPEG scans do not cover all components")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-
-    # split entropy data at restart markers, unstuff each segment
-    segments: list[bytes] = []
-    if dri:
-        parts, cur, i = [], bytearray(), 0
-        while i < len(entropy):
-            if entropy[i] == 0xFF and i + 1 < len(entropy):
-                nxt = entropy[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    parts.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-            cur.append(entropy[i])
-            i += 1
-        parts.append(bytes(cur))
-        segments = parts
-    else:
-        segments = [entropy.replace(b"\xff\x00", b"\xff")]
-
-    # per-component block grids (MCU-padded sizes)
-    grids = {}
-    for cid, hf, vf, tq in comps:
-        grids[cid] = np.zeros((mcuy * vf, mcux * hf, 64), np.int64)
-
-    order = []  # scan order within one MCU: (cid, hf, vf, td, ta)
-    comp_by_id = {c[0]: c for c in comps}
-    for cs, td, ta in sel:
-        if cs not in comp_by_id:
-            raise ValueError("scan references unknown component")
-        cid, hf, vf, tq = comp_by_id[cs]
-        order.append((cid, hf, vf, td, ta))
-
-    mcu_per_seg = dri if dri else mcuy * mcux
-    preds = {cid: 0 for cid, *_ in order}
-    mcu = 0
-    for seg in segments:
-        br = _BitReader(seg)
-        preds = {cid: 0 for cid in preds}  # RST resets DC predictors
-        for _ in range(min(mcu_per_seg, mcuy * mcux - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for cid, hf, vf, td, ta in order:
-                if td not in dc_tabs or ta not in ac_tabs:
-                    raise ValueError("JPEG scan references missing Huffman table")
-                for dy in range(vf):
-                    for dx in range(hf):
-                        zz, preds[cid] = _decode_block(
-                            br, dc_tabs[td], ac_tabs[ta], preds[cid]
-                        )
-                        grids[cid][my * vf + dy, mx * hf + dx] = zz
-            mcu += 1
-        if mcu >= mcuy * mcux:
-            break
-    if mcu < mcuy * mcux:
-        raise ValueError("truncated JPEG entropy data (incomplete MCUs)")
 
     # dequantize + IDCT + assemble planes, then upsample to full resolution
     planes = {}

