@@ -331,19 +331,36 @@ def a16_group_concat_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t3_latest_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY T3 (matching.service.js:251-269): latest-valid row per key via
-    row_number window argmax with total tie-break."""
+    """SURVEY T3 (matching.service.js:251-269): latest-valid row per key.
+
+    Round 4: struct-max argmax instead of a row_number window. max() over a
+    struct compares lexicographically, so max(struct(shipdate, linenumber,
+    extendedprice, partkey, suppkey)) IS the window's 5-key descending
+    total order — same deterministic winner (rows tying on all five keys
+    are identical in every output column). The win is the plan: a
+    HashAggregate with a map-side partial combine shuffles ONE candidate
+    row per key instead of sorting every row within each key partition —
+    at 10^12-row scale the window plan's per-partition sort + full-table
+    shuffle is the bottleneck, the struct-max plan's shuffle is ~|keys|.
+    (The synthetic data can repeat (linenumber, shipdate) within an order,
+    hence the 5-key total order for cross-engine determinism.)"""
     li = _t(spark, sf_dir, "lineitem")
-    # the synthetic data can repeat (linenumber, shipdate) within an order —
-    # the tie-break must be TOTAL for cross-engine determinism
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("l_shipdate"), F.desc("l_linenumber"), F.desc("l_extendedprice"),
-        F.desc("l_partkey"), F.desc("l_suppkey")
-    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.struct(
+                    "l_shipdate", "l_linenumber", "l_extendedprice",
+                    "l_partkey", "l_suppkey",
+                )
+            ).alias("_m")
+        )
+        .select(
+            "l_orderkey",
+            F.col("_m.l_linenumber").alias("l_linenumber"),
+            F.col("_m.l_shipdate").alias("l_shipdate"),
+            F.col("_m.l_extendedprice").alias("l_extendedprice"),
+        )
     )
 
 
