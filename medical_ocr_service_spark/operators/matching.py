@@ -235,16 +235,30 @@ def _collect_nomenclador_space(nom_embedded: DataFrame) -> tuple[list, list, lis
 
 def latest_agreements(acuerdos: DataFrame) -> DataFrame:
     """One row per (prestador, nomenclador, plan): latest vigente='SI'
-    agreement by fecha_vigencia (argmax window, id_acuerdo tie-break) —
-    matching.service.js:251-269."""
-    w = Window.partitionBy(
-        "prest_id_prestador", "id_nomenclador", "plan_id_plan"
-    ).orderBy(F.desc("fecha_vigencia"), F.desc("id_acuerdo"))
-    return (
-        acuerdos.filter(F.col("vigente") == "SI")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    agreement by fecha_vigencia (id_acuerdo tie-break) —
+    matching.service.js:251-269.
+
+    Round 4: struct-max argmax instead of a row_number window. The winner
+    is unchanged — max(struct(fecha_vigencia, id_acuerdo, ...)) compares
+    lexicographically, which IS (fecha DESC, id DESC) with the unique
+    id_acuerdo deciding ties before any later field is reached, and struct
+    ordering puts NULL below any value exactly like DESC NULLS LAST. The
+    plan gains a map-side partial_max: one candidate row per key crosses
+    the shuffle instead of every agreement row — at a 10^12-row agreements
+    table the window plan's full shuffle + per-key sort is the bottleneck.
+    """
+    keys = ["prest_id_prestador", "id_nomenclador", "plan_id_plan"]
+    others = [
+        c for c in acuerdos.columns
+        if c not in ("fecha_vigencia", "id_acuerdo")
+    ]
+    winner = F.max(F.struct("fecha_vigencia", "id_acuerdo", *others)).alias("_m")
+    agg = acuerdos.filter(F.col("vigente") == "SI").groupBy(*keys).agg(winner)
+    return agg.select(
+        *[
+            (F.col(c) if c in keys else F.col(f"_m.{c}")).alias(c)
+            for c in acuerdos.columns
+        ]
     )
 
 
