@@ -472,14 +472,27 @@ def match_prestador_ann(
             ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_sim"), F.asc("_ann_id"))
+    # struct-max argmax: the per-doc winner is the lexicographic max of
+    # (_sim, -_ann_id, _ann_id) — identical to a row_number window ordered
+    # (desc _sim, asc _ann_id) because id_prestador is a non-null int, so
+    # max(-id) = min(id) breaks similarity ties. The aggregate gets a
+    # map-side partial_max: one candidate per (partition, doc) crosses the
+    # shuffle instead of all ~22 radius-2 probe hits feeding a per-doc sort.
     best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        scored.groupBy(F.col("doc_id").alias("_b_doc"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim"),
+                    (-F.col("_ann_id")).alias("_neg_id"),
+                    F.col("_ann_id"),
+                )
+            ).alias("_best")
+        )
         .select(
-            F.col("doc_id").alias("_b_doc"),
-            F.col("_ann_id"),
-            F.col("_sim").alias("_ann_sim"),
+            "_b_doc",
+            F.col("_best._ann_id").alias("_ann_id"),
+            F.col("_best._sim").alias("_ann_sim"),
         )
     )
     step3 = step2.join(best, step2.doc_id == best._b_doc, "left").drop("_b_doc")

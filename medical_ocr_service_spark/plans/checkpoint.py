@@ -302,19 +302,32 @@ class CheckpointedExtraction:
         partial/duplicate appends, keep one row per doc_id (latest run wins —
         the read-side equivalent of Iceberg MERGE). With snapshots=True,
         ``snapshot_id`` time-travels to any committed snapshot; the dedup
-        window stays as defense-in-depth (duplicates can still arise from
+        dedup stays as defense-in-depth (duplicates can still arise from
         two successful non-resume runs over overlapping inputs)."""
-        from pyspark.sql import Window
-
         df = self._read_results(spark, snapshot_id)
         if df is None:
             raise FileNotFoundError(f"no committed results under {self.results_path}")
         # recency = the run's start timestamp (monotonic across runs), with
-        # run_id only as a deterministic tie-break — ordering by the random
-        # uuid alone would make "latest wins" a coin flip between runs.
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("run_ts"), F.desc("run_id")
+        # run_id as a deterministic tie-break — ordering by the random uuid
+        # alone would make "latest wins" a coin flip between runs.
+        # struct-max argmax instead of a row_number window: max over
+        # (run_ts, run_id, row) equals the window's (desc run_ts, desc
+        # run_id) winner (struct NULL-smallest matches DESC NULLS LAST),
+        # but aggregates with a map-side partial_max — one surviving row
+        # per (partition, doc) crosses the shuffle and there's no per-doc
+        # sort, which is what a 10^12-doc results table needs on read.
+        other = [c for c in df.columns if c != "doc_id"]
+        best = (
+            df.groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("run_ts"),
+                        F.col("run_id"),
+                        F.struct(*other).alias("_row"),
+                    )
+                ).alias("_b")
+            )
+            .select("doc_id", "_b._row.*")
         )
-        return df.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") == 1
-        ).drop("_rn")
+        return best.select(*df.columns)

@@ -264,3 +264,51 @@ def test_colocated_checkpointed_run_and_resume(spark, loaded, tmp_path):
 
     with pytest.raises(ValueError, match="colocated"):
         ck.run(docs, media, colocated=True, quarantine=True)
+
+
+def test_results_latest_wins_via_partial_max_no_window(spark, loaded, tmp_path):
+    """results() dedup is a struct-max argmax, not a row_number window: the
+    executed plan must carry a map-side partial_max and zero Window nodes
+    (the read path of a 10^12-doc results table can't afford a per-doc
+    sort), and the winner must equal the explicit (desc run_ts, desc
+    run_id) window rule when a second overlapping run appends duplicates."""
+    from pyspark.sql import Window
+
+    docs, media = loaded
+    ck = CheckpointedExtraction(str(tmp_path / "out"))
+    ck.run(docs, media)
+
+    # simulate the documented duplicate source: a second successful
+    # non-resume run over an overlapping input slice (newer run_ts wins)
+    first = spark.read.parquet(ck.results_path)
+    dup = (
+        first.filter(F.col("doc_id") < "doc00000020")
+        .withColumn("run_ts", F.col("run_ts") + F.lit(1000.0))
+        .withColumn("run_id", F.lit("zzzz_rerun"))
+        .withColumn("full_text", F.concat(F.lit("RERUN::"), F.col("full_text")))
+    )
+    n_dup = dup.count()
+    assert n_dup > 0
+    dup.write.mode("append").parquet(ck.results_path)
+
+    got = ck.results(spark)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
+
+    # exactly-once per doc, newer run's payload won
+    assert got.count() == docs.count()
+    assert (
+        got.filter(F.col("full_text").startswith("RERUN::")).count() == n_dup
+    )
+
+    # bit-equality with the explicit window rule the docstring promises
+    w = Window.partitionBy("doc_id").orderBy(F.desc("run_ts"), F.desc("run_id"))
+    ref = (
+        spark.read.parquet(ck.results_path)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0

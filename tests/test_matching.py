@@ -428,3 +428,30 @@ def test_previsacion_production_dim_1536():
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["ok"] and res["dim"] == 1536
     assert res["header_rows"] == res["docs"] == 300
+
+
+def test_match_prestador_ann_plan_has_no_window(spark, corpus_dir):
+    """The ANN cascade's best-per-doc step is a struct-max argmax: the plan
+    must aggregate with a map-side partial_max and contain zero Window
+    nodes — radius-2 probing fans each miss into 22 candidate buckets, and
+    a per-doc sort over that fan-out is the wrong shape at 10^12 docs."""
+    from medical_ocr_service_spark.corpus import generator
+    from medical_ocr_service_spark.operators import extract, matching
+    from medical_ocr_service_spark.plans.previsacion import plan_id_col
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+    prest, _, _ = generator.dims_dataframes(spark)
+    prest_e = matching.embed_prestadores(prest)
+    doc_fields = extract.extract_documents(docs, media).select(
+        "doc_id",
+        F.col("fields.ruc").alias("ruc"),
+        F.col("fields.prestador_nombre").alias("prestador_nombre"),
+        F.col("fields.medico_matricula").alias("medico_matricula"),
+        F.col("fields.matricula_valida").alias("matricula_valida"),
+        plan_id_col(),
+    )
+    out = matching.match_prestador_ann(doc_fields, prest_e)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
