@@ -10,12 +10,14 @@ Scope (honest, loudly gated):
 * **decode**: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
   spectral selection + successive approximation per ITU T.81 Annex G,
   round 4: full sharp/libjpeg-default parity for the reference's JPEG
-  intake), 8-bit, 1-component grayscale or 3-component YCbCr, any sampling
-  factors 1-2 (4:4:4, 4:2:2, 4:2:0, ...), multiple DQT/DHT segments,
-  restart markers (DRI/RSTn) in both modes, interleaved and
-  non-interleaved scans. Arithmetic coding, hierarchical/lossless
-  processes, 12-bit and 4-component streams raise ValueError with a clear
-  message.
+  intake), 8-bit AND 12-bit precision (12-bit output downscaled to the
+  8-bit domain, libjpeg-style), 1-component grayscale, 3-component YCbCr
+  or Adobe-marked stored-RGB, 4-component Adobe CMYK / YCCK (APP14
+  transform byte; no APP14 = plain CMYK) — every color layout sharp's
+  libjpeg accepts. Any sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, ...),
+  multiple DQT/DHT segments, restart markers (DRI/RSTn) in both modes,
+  interleaved and non-interleaved scans. Arithmetic coding and
+  hierarchical/lossless processes raise ValueError with a clear message.
 * **encode**: baseline sequential, quality-scaled Annex-K quantization
   tables, Annex-K Huffman tables, 4:4:4 (subsample=False) or 4:2:0
   (subsample=True), grayscale for 2-D input, JFIF APP0 header. Plus
@@ -24,6 +26,9 @@ Scope (honest, loudly gated):
   vector generator for the progressive decoder; its AC scans use a flat
   fixed Huffman table (every (run,size) + EOBn symbol at 8 bits) rather
   than per-scan optimal tables, trading compression for simplicity.
+  Plus encode_jpeg_cmyk (Adobe APP14 CMYK / YCCK) and encode_jpeg_12bit
+  (extended 12-bit Huffman tables), the test-vector generators for the
+  matching decode paths and honest standalone encoders for those shapes.
 
 Everything operates on HxWx3 (RGB) or HxW (gray) uint8 numpy arrays. The DCT
 is the exact orthonormal 8x8 transform as two matrix products; entropy coding
@@ -272,12 +277,18 @@ def rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb_f(ycc: np.ndarray) -> np.ndarray:
+    """Float YCbCr -> float RGB, unclipped (shared by the uint8 wrapper and
+    the YCCK branch of the 4-component decode path)."""
     y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    return np.clip(_ycbcr_to_rgb_f(ycc).round(), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +302,7 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
-def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _to_blocks(plane: np.ndarray, level: float = 128.0) -> tuple[np.ndarray, int, int]:
     """Edge-pad a 2-D plane to 8-multiples -> ((by*bx), 8, 8) float blocks."""
     h, w = plane.shape
     ph, pw = -h % 8, -w % 8
@@ -300,12 +311,14 @@ def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     hh, ww = plane.shape
     by, bx = hh // 8, ww // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return blocks.astype(np.float64) - 128.0, by, bx
+    return blocks.astype(np.float64) - level, by, bx
 
 
-def _encode_plane_coefs(plane: np.ndarray, qtab: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _encode_plane_coefs(
+    plane: np.ndarray, qtab: np.ndarray, level: float = 128.0
+) -> tuple[np.ndarray, int, int]:
     """-> (quantized zigzag coefs (n, 64) int, blocks_y, blocks_x)."""
-    blocks, by, bx = _to_blocks(plane)
+    blocks, by, bx = _to_blocks(plane, level)
     coefs = dct2_blocks(blocks).reshape(-1, 64)
     q = np.round(coefs / qtab[UNZIGZAG].reshape(1, 64))  # qtab is zigzag order
     return q[:, ZIGZAG].astype(np.int64), by, bx  # reorder natural -> zigzag
@@ -478,6 +491,144 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _encode_planes_baseline(
+    planes: list[np.ndarray],
+    tbl_group: list[int],
+    quality: int = 90,
+    precision: int = 8,
+    adobe_transform: int | None = None,
+) -> bytes:
+    """Shared baseline encoder over explicit stored-sample planes.
+
+    ``planes``: 2-D float64 arrays of identical shape, values already in the
+    STORED domain (0..2^precision-1); ``tbl_group[i]`` in {0 (luma), 1
+    (chroma)} picks the quantization/Huffman table pair per component.
+    Always 4:4:4, one interleaved scan, component ids 1..n.
+    ``adobe_transform`` is not None -> an Adobe APP14 segment is written
+    (how CMYK/YCCK 4-component and RGB-stored 3-component streams are
+    marked in the wild). ``precision`` 12 switches to the extended Huffman
+    tables (DC categories <=15, AC sizes <=14), a 2048 level shift and
+    coefficient clipping to the T.81 12-bit AC range.
+    Test-vector generator for decode_jpeg's CMYK/YCCK/RGB/12-bit paths and
+    an honest standalone encoder for those stream shapes."""
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported JPEG precision {precision}")
+    if len(planes) != len(tbl_group) or not planes:
+        raise ValueError("planes/tbl_group mismatch")
+    h, w = planes[0].shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    level = float(1 << (precision - 1))
+    ql = _quality_scale(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _quality_scale(QUANT_CHROMA, quality)[ZIGZAG]
+    use_chroma = any(g == 1 for g in tbl_group)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    if adobe_transform is not None:
+        app14 = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform)
+        out += b"\xff\xee" + struct.pack(">H", len(app14) + 2) + app14
+    elif precision == 8:
+        out += (
+            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes([1, 1, 0]) +
+            struct.pack(">HH", 1, 1) + bytes([0, 0])
+        )
+    out += _dqt_segment(0, ql)
+    if use_chroma:
+        out += _dqt_segment(1, qc)
+
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for i, g in enumerate(tbl_group):
+        sof += bytes([i + 1, 0x11, g])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+
+    if precision == 12:
+        out += _dht_segment(0, 0, DC12_BITS, DC12_VALS)
+        out += _dht_segment(1, 0, AC12_BITS, AC12_VALS)
+        dc_codes = [_build_codes(DC12_BITS, DC12_VALS)] * 2
+        ac_codes = [_build_codes(AC12_BITS, AC12_VALS)] * 2
+        huff_ids = [0] * len(planes)  # one table pair serves every component
+    else:
+        out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        if use_chroma:
+            out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+            out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        dc_codes = [
+            _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+            _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        ]
+        ac_codes = [
+            _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+            _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+        huff_ids = list(tbl_group)
+
+    sos = bytes([len(planes)])
+    for i, hid in enumerate(huff_ids):
+        sos += bytes([i + 1, hid << 4 | hid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    zzs = []
+    nblocks = 0
+    for p, g in zip(planes, tbl_group):
+        zz, by, bx = _encode_plane_coefs(
+            p.astype(np.float64), ql if g == 0 else qc, level
+        )
+        if precision == 12:
+            zz = np.clip(zz, -16383, 16383)  # T.81 12-bit AC coefficient range
+        zzs.append(zz)
+        nblocks = by * bx
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for m in range(nblocks):
+        for ci, zz in enumerate(zzs):
+            hid = huff_ids[ci]
+            preds[ci] = _huff_encode_block(
+                bw, zz[m], preds[ci], dc_codes[hid], ac_codes[hid]
+            )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, quality: int = 90, transform: int = 0) -> bytes:
+    """HxWx4 uint8 CMYK ink values (0 = no ink) -> Adobe APP14 JPEG bytes.
+
+    transform=0 stores the Adobe-inverted CMYK planes directly; transform=2
+    stores YCCK (the inverted CMY run through the YCbCr transform, K as-is)
+    — the two 4-component layouts Adobe products emit and sharp/libjpeg
+    accept (/root/reference/src/services/image.service.js:186-240 takes any
+    JPEG sharp can open)."""
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk expects an HxWx4 array")
+    stored = 255.0 - cmyk.astype(np.float64)  # Adobe stores inverted ink
+    if transform == 2:
+        ycc = rgb_to_ycbcr(stored[..., :3])
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2], stored[..., 3]]
+        groups = [0, 1, 1, 0]
+    elif transform == 0:
+        planes = [stored[..., i] for i in range(4)]
+        groups = [0, 0, 0, 0]
+    else:
+        raise ValueError(f"unsupported Adobe transform {transform}")
+    return _encode_planes_baseline(planes, groups, quality, adobe_transform=transform)
+
+
+def encode_jpeg_12bit(arr: np.ndarray, quality: int = 90) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) samples 0..4095 -> 12-bit baseline JPEG."""
+    f = arr.astype(np.float64)
+    if arr.ndim == 2:
+        return _encode_planes_baseline([f], [0], quality, precision=12)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_12bit expects HxW or HxWx3")
+    ycc = rgb_to_ycbcr(f / 16.0) * 16.0  # BT.601 at 12-bit amplitude
+    return _encode_planes_baseline(
+        [ycc[..., 0], ycc[..., 1], ycc[..., 2]], [0, 1, 1], quality, precision=12
+    )
+
+
 # ---------------------------------------------------------------------------
 # Progressive encoder (T.81 Annex G) — the test-vector generator for the
 # progressive decoder below; also a valid standalone encoder.
@@ -496,6 +647,15 @@ AC_PROG_VALS = sorted(
     | {0xF0}
 )
 AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+# Extended Huffman tables for 12-bit precision frames (T.81 tables F.6/F.7
+# ranges: DC categories 0..15, AC sizes 1..14). Like AC_PROG these trade
+# compression for a fixed, trivially-correct table — the canonical code
+# assignment leaves the all-ones prefix unused at every length.
+DC12_BITS = [0, 0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(16))
+AC12_VALS = sorted({(r << 4) | s for r in range(16) for s in range(1, 15)} | {0x00, 0xF0})
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
 
 def _flush_eobrun(bw: _BitWriter, ac_codes, state: dict) -> None:
@@ -1006,9 +1166,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """JPEG bytes -> (width, height, HxWx3 uint8 RGB).
 
     Baseline sequential (SOF0/1) and progressive (SOF2, spectral selection
-    + successive approximation, Annex G) Huffman processes; grayscale
-    expanded to RGB. Arithmetic-coded, hierarchical/lossless, 12-bit and
-    4-component streams raise ValueError."""
+    + successive approximation, Annex G) Huffman processes; 8-bit and
+    12-bit precision (12-bit output downscaled to 8-bit like libjpeg);
+    1-component grayscale (expanded to RGB), 3-component YCbCr or
+    Adobe-marked stored-RGB, and 4-component Adobe CMYK / YCCK (APP14
+    transform byte; no APP14 = plain non-inverted CMYK) converted to RGB.
+    Arithmetic-coded and hierarchical/lossless streams raise ValueError."""
     import re
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -1017,8 +1180,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     qtabs: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
-    frame = None  # (h, w, comps) ; comps: list of (cid, hf, vf, tq)
+    frame = None  # (h, w, comps, prec) ; comps: list of (cid, hf, vf, tq)
     progressive = False
+    adobe_transform: int | None = None
     dri = 0
     grids: dict | None = None
     geom = None
@@ -1058,9 +1222,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             progressive = marker == 0xC2
             prec, fh, fw, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
-            if prec != 8:
-                raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
-            if nc not in (1, 3):
+            if prec not in (8, 12):
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3, 4):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             comps = []
             for i in range(nc):
@@ -1069,7 +1233,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 if not (1 <= hf <= 2 and 1 <= vf <= 2):
                     raise ValueError(f"unsupported sampling factors {hf}x{vf}")
                 comps.append((cid, hf, vf, tq))
-            frame = (fh, fw, comps)
+            frame = (fh, fw, comps, prec)
         elif marker == 0xC4:  # DHT — possibly multiple tables per segment
             p = 0
             while p < len(data):
@@ -1081,10 +1245,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xEE and data[:5] == b"Adobe" and len(data) >= 12:
+            adobe_transform = data[11]  # APP14: 0=RGB/CMYK, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            fh, fw, comps = frame
+            fh, fw, comps, _ = frame
             if fh < 1 or fw < 1:
                 raise ValueError("empty image")
             if grids is None:
@@ -1129,11 +1295,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     if frame is None or n_scans == 0:
         raise ValueError("missing SOF/SOS in JPEG stream")
-    fh, fw, comps = frame
+    fh, fw, comps, prec = frame
     if not progressive and n_seq_scans_comps < len(comps):
         raise ValueError("JPEG scans do not cover all components")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    level = float(1 << (prec - 1))
+    # 12-bit precision downscales to the 8-bit output domain (libjpeg-style)
+    out_scale = 255.0 / float((1 << prec) - 1)
 
     # dequantize + IDCT + assemble planes, then upsample to full resolution
     planes = {}
@@ -1145,7 +1314,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         zz = g.reshape(-1, 64)
         nat = np.zeros_like(zz, dtype=np.float64)
         nat[:, ZIGZAG] = zz * qtabs[tq][np.newaxis, :]  # both in zigzag order
-        blocks = idct2_blocks(nat.reshape(-1, 8, 8)) + 128.0
+        blocks = idct2_blocks(nat.reshape(-1, 8, 8)) + level
         plane = (
             blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
@@ -1153,12 +1322,30 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         ry, rx = vmax // vf, hmax // hf
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes[cid] = plane[: fh, : fw]
+        plane = plane[: fh, : fw]
+        if prec != 8:
+            plane = plane * out_scale
+        planes[cid] = plane
 
     vals = [planes[c[0]] for c in comps]
     if len(vals) == 1:
         y = np.clip(vals[0].round(), 0, 255).astype(np.uint8)
         rgb = np.repeat(y[..., np.newaxis], 3, axis=2)
-    else:
-        rgb = ycbcr_to_rgb(np.stack(vals, axis=-1))
+    elif len(vals) == 3:
+        if adobe_transform == 0:  # Adobe transform 0 + 3 comps = stored RGB
+            rgb = np.clip(np.stack(vals, axis=-1).round(), 0, 255).astype(np.uint8)
+        else:
+            rgb = ycbcr_to_rgb(np.stack(vals, axis=-1))
+    else:  # 4 components: Adobe CMYK (transform 0 / no marker) or YCCK (2)
+        s = np.stack(vals, axis=-1)
+        if adobe_transform == 2:  # YCbCr carries the inverted CMY; K rides as-is
+            s = np.concatenate([_ycbcr_to_rgb_f(s[..., :3]), s[..., 3:]], axis=-1)
+        s = np.clip(s, 0.0, 255.0)
+        if adobe_transform is None:
+            # no Adobe marker: plain (non-inverted) CMYK ink values
+            s = 255.0 - s
+        # Adobe stores inverted ink: R = S_C * S_K / 255, etc.
+        rgb = np.clip((s[..., :3] * s[..., 3:] / 255.0).round(), 0, 255).astype(
+            np.uint8
+        )
     return fw, fh, np.ascontiguousarray(rgb)

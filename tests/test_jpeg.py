@@ -242,3 +242,104 @@ def test_real_jpeg_features_and_compress(spark):
     assert (w, h) == (row["width"], row["height"])
     assert w <= 500 and h <= 400 and w >= mm.MIN_DIM and h >= mm.MIN_DIM
     assert arr.shape == (h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK / stored-RGB / 12-bit parity paths (round 4: the remaining
+# sharp-intake stream shapes — image.service.js:186-240 accepts any JPEG
+# libjpeg opens, so the decoder must too)
+# ---------------------------------------------------------------------------
+
+def _cmyk_gradient(w, h):
+    """Smooth 4-channel ink image; K kept mid-range so the CMYK->RGB product
+    term stays sensitive to both factors."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    c = x / max(w - 1, 1) * 200
+    m = y / max(h - 1, 1) * 200
+    yel = (x + y) / max(w + h - 2, 1) * 180
+    k = 40 + (x - y + h) / max(w + h - 2, 1) * 60
+    return np.stack([c, m, yel, k], axis=-1).round().astype(np.uint8)
+
+
+def _cmyk_expected_rgb(cmyk):
+    s = 255.0 - cmyk.astype(np.float64)  # Adobe-inverted stored values
+    return np.clip((s[..., :3] * s[..., 3:] / 255.0).round(), 0, 255)
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_cmyk_roundtrip(transform):
+    cmyk = _cmyk_gradient(77, 53)
+    enc = J.encode_jpeg_cmyk(cmyk, quality=92, transform=transform)
+    assert b"Adobe" in enc[:64]
+    w, h, dec = J.decode_jpeg(enc)
+    assert (w, h) == (77, 53) and dec.shape == (53, 77, 3)
+    err = np.abs(dec.astype(float) - _cmyk_expected_rgb(cmyk))
+    assert err.mean() < 3.0 and err.max() <= 40
+
+
+def test_cmyk_without_adobe_marker_is_plain_cmyk():
+    """Strip APP14: the decoder must fall back to the non-inverted CMYK
+    convention, i.e. interpret the stored samples as ink directly."""
+    cmyk = _cmyk_gradient(40, 32)
+    enc = J.encode_jpeg_cmyk(cmyk, quality=92, transform=0)
+    i = enc.index(b"\xff\xee")
+    (seg_len,) = __import__("struct").unpack_from(">H", enc, i + 2)
+    stripped = enc[:i] + enc[i + 2 + seg_len:]
+    w, h, dec = J.decode_jpeg(stripped)
+    # stored = 255-ink; the no-marker branch re-inverts (treats stored as
+    # plain ink), so the expected RGB uses the ORIGINAL ink as Adobe-stored
+    ink = cmyk.astype(np.float64)
+    expected = np.clip((ink[..., :3] * ink[..., 3:] / 255.0).round(), 0, 255)
+    err = np.abs(dec.astype(float) - expected)
+    assert err.mean() < 3.0
+
+
+def test_adobe_rgb_stored_3component():
+    """Adobe APP14 transform 0 with 3 components = RGB stored directly
+    (no YCbCr transform) — decoded without color conversion."""
+    img = _gradient(64, 48, seed=3)
+    planes = [img[..., i].astype(np.float64) for i in range(3)]
+    enc = J._encode_planes_baseline(planes, [0, 0, 0], quality=92, adobe_transform=0)
+    w, h, dec = J.decode_jpeg(enc)
+    assert (w, h) == (64, 48)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 24
+
+
+def test_12bit_gray_roundtrip():
+    y, x = np.mgrid[0:60, 0:90].astype(np.float64)
+    g16 = ((x + y) / (60 + 90 - 2) * 4095).round().astype(np.uint16)
+    enc = J.encode_jpeg_12bit(g16, quality=90)
+    # SOF precision byte says 12
+    i = enc.index(b"\xff\xc0")
+    assert enc[i + 4] == 12
+    w, h, dec = J.decode_jpeg(enc)
+    assert (w, h) == (90, 60) and dec.shape == (60, 90, 3)
+    assert np.array_equal(dec[..., 0], dec[..., 1])
+    expected = (g16.astype(np.float64) * 255.0 / 4095.0)
+    err = np.abs(dec[..., 0].astype(float) - expected)
+    assert err.mean() < 2.0 and err.max() <= 24
+
+
+def test_12bit_rgb_roundtrip():
+    img8 = _gradient(70, 44, seed=6)
+    img16 = (img8.astype(np.uint16) * 16)  # 0..4080 in the 12-bit domain
+    enc = J.encode_jpeg_12bit(img16, quality=90)
+    w, h, dec = J.decode_jpeg(enc)
+    assert (w, h) == (70, 44)
+    expected = img16.astype(np.float64) * 255.0 / 4095.0
+    err = np.abs(dec.astype(float) - expected)
+    assert err.mean() < 2.5 and err.max() <= 30
+
+
+def test_jpeg_rejects_bad_component_counts_and_precision():
+    enc = J.encode_jpeg(_gradient(32, 32), quality=90)
+    i = enc.index(b"\xff\xc0")
+    # precision byte patched to 10 (offset: marker+2len+1)
+    bad_prec = enc[: i + 4] + bytes([10]) + enc[i + 5 :]
+    with pytest.raises(ValueError, match="precision"):
+        J.decode_jpeg(bad_prec)
+    with pytest.raises(ValueError, match="HxWx4"):
+        J.encode_jpeg_cmyk(np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="transform"):
+        J.encode_jpeg_cmyk(np.zeros((8, 8, 4), np.uint8), transform=1)
