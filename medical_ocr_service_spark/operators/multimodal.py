@@ -557,8 +557,13 @@ def gradient_png(w: int, h: int, seed: int = 0) -> bytes:
 
 
 def gradient_jpeg(w: int, h: int, seed: int = 0) -> bytes:
-    """Deterministic real baseline JPEG: RGB gradient varied by seed
-    (4:2:0 for even seeds, 4:4:4 otherwise — both decode paths stay hot)."""
+    """Deterministic real JPEG: RGB gradient varied by seed, rotating the
+    stream shape by seed % 5 — baseline 4:2:0, baseline 4:4:4, progressive
+    (SOF2), Adobe CMYK (4-component APP14) and 12-bit precision — so every
+    sharp-intake decode path stays hot in the Spark-side tests."""
+    from ..functions.jpeg import encode_jpeg_12bit, encode_jpeg_cmyk
+    from ..functions.jpeg import encode_jpeg_progressive
+
     y, x = np.mgrid[0:h, 0:w]
     arr = np.stack(
         [
@@ -568,7 +573,18 @@ def gradient_jpeg(w: int, h: int, seed: int = 0) -> bytes:
         ],
         axis=-1,
     ).astype(np.uint8)
-    return encode_jpeg(arr, quality=90, subsample=seed % 2 == 0)
+    flavor = seed % 5
+    if flavor == 2:
+        return encode_jpeg_progressive(arr, quality=90)
+    if flavor == 3:
+        # derive smooth ink planes from the gradient (K mid-range)
+        cmyk = np.concatenate(
+            [255 - arr, (64 + arr[..., :1] // 4).astype(np.uint8)], axis=-1
+        )
+        return encode_jpeg_cmyk(cmyk, quality=90, transform=seed % 2 * 2)
+    if flavor == 4:
+        return encode_jpeg_12bit(arr.astype(np.uint16) * 16, quality=90)
+    return encode_jpeg(arr, quality=90, subsample=flavor == 0)
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
