@@ -2261,6 +2261,84 @@ def s10_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_last_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value,
+           date_diff('microsecond', p.ts, c.ts) AS age_us
+    FROM clicks c
+    ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (training-data pipeline op): each click gets
+    the user's latest at-or-before purchase. Union-and-scan merge plan — one
+    shuffle of |clicks|+|purchases| rows, no range-join explosion (see
+    operators/temporal.as_of_join)."""
+    from ..operators.temporal import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    res = as_of_join(clicks, purch, on="user_id", ts="ts",
+                     payload=["value"], prefix="purchase_")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "purchase_ts",
+        F.col("purchase_value"),
+        F.expr("timestampdiff(MICROSECOND, purchase_ts, ts)").alias("age_us"),
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(is_start) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (behavioural-corpus construction):
+    30-min-gap sessions per user. Both window scans share one (user_id, ts)
+    sort, so the plan has a single exchange (see operators/temporal.
+    sessionize)."""
+    from ..operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, key="user_id", ts="ts", tiebreak="event_id",
+                      gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -2325,8 +2403,10 @@ _DRIVER_WINDOW: list[str] = [
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "doc_fingerprints",
-    "hash_split_train_val_test",
-    "pack_sequences",
+    # -- NEW this round (never driver-verified -> window priority); displaces
+    # hash_split_train_val_test + pack_sequences (r3-green, code unchanged)
+    "asof_last_purchase",
+    "sessionize_events",
     "contamination_check",
     "pii_scrub",
     "p7_row_validity_gate",
