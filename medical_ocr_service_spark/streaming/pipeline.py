@@ -221,6 +221,38 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_stats(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/temporal.sessionize: native
+    ``session_window`` dynamic-gap windows.
+
+    Windows of the same key merge as events arrive; a session finalizes
+    (and, in append mode, emits exactly once) when the watermark passes its
+    end (= last event ts + gap). State is bounded by the watermark — the
+    10^12-doc answer to unbounded per-user session state. Late events past
+    the watermark are dropped, matching windowed_event_counts semantics.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     docs_dir: str,

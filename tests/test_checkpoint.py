@@ -312,3 +312,67 @@ def test_results_latest_wins_via_partial_max_no_window(spark, loaded, tmp_path):
     )
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
+    """session_window streaming twin of temporal.sessionize: events within
+    the gap merge into one session, a later event opens a new one, finalized
+    sessions emit exactly once (append mode), and sessions still inside the
+    watermark stay open. availableNow triggers a trailing no-data micro-batch
+    with the advanced watermark, so finalization lands in the same run."""
+    from medical_ocr_service_spark.streaming.pipeline import (
+        sessionized_event_stats,
+    )
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .parquet(str(src / "f*"))
+        )
+        q = (
+            sessionized_event_stats(stream, gap="30 minutes", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # b1: user 7 has two events 10' apart (merge) + one 80' later (new
+    # session); user-9 sentinel at 12:00. Watermark after the run: 11:30 —
+    # only user 7's first session (end 10:40) finalizes.
+    write("f1", [("2024-01-01 10:00:00", 7, 1.0),
+                 ("2024-01-01 10:10:00", 7, 2.0),
+                 ("2024-01-01 11:30:00", 7, 4.0),
+                 ("2024-01-01 12:00:00", 9, 0.5)])
+    run_once()
+    out = spark.read.parquet(str(tmp_path / "sess_out")).toPandas()
+    assert len(out) == 1  # sessions ending 12:00 / 12:30 still open
+    s1 = out.iloc[0]
+    assert s1["user_id"] == 7 and s1["n_events"] == 2 and s1["sum_value"] == 3.0
+    assert str(s1["session_start"]) == "2024-01-01 10:00:00"
+    assert str(s1["session_end"]) == "2024-01-01 10:40:00"  # last ts + gap
+
+    # b2: sentinel to 14:00 -> watermark 13:30 finalizes user-7 session 2
+    # (end 12:00) and the 12:00 sentinel session; 14:00 itself stays open.
+    write("f2", [("2024-01-01 14:00:00", 9, 0.5)])
+    run_once()
+    out = spark.read.parquet(str(tmp_path / "sess_out")).toPandas()
+    u7 = out[out["user_id"] == 7].sort_values("session_start")
+    assert len(u7) == 2  # session 1 emitted exactly once across runs
+    assert u7.iloc[1]["n_events"] == 1
+    assert str(u7.iloc[1]["session_end"]) == "2024-01-01 12:00:00"
+    u9 = out[out["user_id"] == 9]
+    assert len(u9) == 1 and str(u9.iloc[0]["session_end"]) == "2024-01-01 12:30:00"
