@@ -62,22 +62,21 @@ def as_of_join(
     payload column (NULL when no build row precedes the probe row).
 
     Duplicate build rows on the same (key, ts) are resolved deterministically
-    to the max payload struct BEFORE the scan, so the result is well-defined
-    (and hash-stable vs an oracle) even on tied timestamps.
+    to the MAX payload struct: the scan's sort order includes the payload
+    struct itself, so ties need no pre-aggregate — the union is the plan's
+    only shuffle input and ONE hashpartitioning(key) exchange feeds the
+    whole merge scan (plan-asserted in tests/test_temporal.py).
     """
     payload = payload or [c for c in build.columns if c not in (on, ts)]
 
-    # Deterministic winner per (key, ts): max(struct(payload)) is a partial-
-    # aggregable HashAggregate — no window needed on the build side.
-    b = (
-        build.groupBy(F.col(on).alias(on), F.col(ts).alias("_ats"))
-        .agg(F.max(F.struct(*[F.col(c) for c in payload])).alias("_b_pay"))
-        .select(
-            on,
-            "_ats",
-            F.lit(0).alias("_side"),
-            F.struct(F.col("_ats").alias(ts), F.col("_b_pay").alias("pay")).alias("_b"),
-        )
+    b = build.select(
+        F.col(on).alias(on),
+        F.col(ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts).alias(ts),
+            F.struct(*[F.col(c) for c in payload]).alias("pay"),
+        ).alias("_b"),
     )
     probe_cols = probe.columns
     p = probe.select(
@@ -101,9 +100,12 @@ def as_of_join(
         "_b",
     )
 
+    # Order within the key by (ts, side, payload struct): build rows sort
+    # BEFORE probe rows at equal ts (inclusive <=), and among tied build
+    # rows last() deterministically picks the max payload struct.
     w = (
         Window.partitionBy(on)
-        .orderBy("_ats", "_side")
+        .orderBy("_ats", "_side", "_b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scanned = p.unionByName(b_aligned).withColumn(

@@ -67,9 +67,8 @@ def test_asof_single_exchange_no_join(spark):
     )
     plan = as_of_join(probe, build, on="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan  # union-and-scan, not a range join
-    # exchanges: one hashpartitioning(user_id) for the window; the build-side
-    # (key, ts) dedup aggregate reuses the same partitioning upstream or adds
-    # its own — but NOTHING may shuffle on a non-key column.
+    # exactly ONE exchange: hashpartitioning(user_id) feeding the merge scan
+    assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
 
 
