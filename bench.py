@@ -239,7 +239,7 @@ def _parse_event_log(evdir: str, windows: list[tuple[float, float]]) -> list[lis
         return stages.setdefault(
             sid,
             {"id": sid, "tasks": 0, "task_core_s": 0.0, "gc_s": 0.0, "max_task_s": 0.0,
-             "py_sent_b": 0, "py_recv_b": 0},
+             "py_sent_b": 0, "py_recv_b": 0, "shuf_w_b": 0, "shuf_r_b": 0},
         )
 
     for path in sorted(files):
@@ -269,6 +269,14 @@ def _parse_event_log(evdir: str, windows: list[tuple[float, float]]) -> list[lis
                     s["max_task_s"],
                     (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1000,
                 )
+                # Shuffle bytes: the through-memory traffic of the plan's one
+                # exchange — the codec/payload-shrink work is graded on this.
+                sw = tm.get("Shuffle Write Metrics") or {}
+                sr = tm.get("Shuffle Read Metrics") or {}
+                s["shuf_w_b"] += sw.get("Shuffle Bytes Written", 0)
+                s["shuf_r_b"] += sr.get("Local Bytes Read", 0) + sr.get(
+                    "Remote Bytes Read", 0
+                )
                 # Arrow-boundary traffic (ArrowEvalPython SQL metrics ride as
                 # named task accumulables): bytes shipped to / returned from
                 # the Python workers. THE number for the DRAM-bandwidth story
@@ -297,6 +305,8 @@ def _parse_event_log(evdir: str, windows: list[tuple[float, float]]) -> list[lis
                 "max_task_s": round(s["max_task_s"], 2),
                 "py_sent_b": s["py_sent_b"],
                 "py_recv_b": s["py_recv_b"],
+                "shuf_w_b": s["shuf_w_b"],
+                "shuf_r_b": s["shuf_r_b"],
             }
             for s in sorted(stages.values(), key=lambda x: x.get("submit") or 0)
             if s.get("submit") and w0 <= s["submit"] <= w1
