@@ -162,3 +162,25 @@ def fingerprint(text: Column, window: int = 8) -> Column:
         ),
     )
     return F.array_min(win_hashes)
+
+
+def token_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary top-k: the k most frequent whitespace tokens.
+
+    Plan: explode -> two-level aggregate. The groupBy(token) partial-
+    aggregates map-side (hash combine), so the shuffle carries one row per
+    DISTINCT token per map partition, not one per token occurrence —
+    vocabulary-sized, not corpus-sized. The global top-k is a TakeOrdered
+    over the aggregated frame (each partition contributes its local top-k;
+    no full sort materializes). Ties break by token ascending so the cut at
+    k is deterministic.
+
+    Split pattern is explicit ASCII whitespace ('[ \\t\\n\\r]+'), the subset
+    where Java and RE2/DuckDB regex classes agree — the driver oracle
+    replays it verbatim with string_split_regex.
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[ \t\n\r]+")).alias("token")
+    ).filter(F.col("token") != "")
+    counted = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("token")).limit(k)

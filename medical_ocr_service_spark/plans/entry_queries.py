@@ -2339,6 +2339,111 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       gap_minutes=30)
 
 
+@query(
+    "range_join_post_purchase",
+    """
+    WITH p AS (
+      SELECT event_id AS window_id, user_id, ts AS lo,
+             ts + INTERVAL 24 HOUR AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.window_id, p.user_id, COUNT(*) AS n_clicks,
+           MIN(c.ts) AS first_click_ts, MAX(c.ts) AS last_click_ts,
+           ROUND(CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS click_value
+    FROM p JOIN c
+      ON p.user_id = c.user_id AND c.ts >= p.lo AND c.ts < p.hi
+    GROUP BY 1, 2
+    """,
+)
+def range_join_post_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via the binned plan: clicks landing inside the
+    24 h window after each purchase of the same user. The oracle is the
+    plain BETWEEN theta-join DuckDB runs natively; the Spark plan is the
+    bucket-exploded equi-join (operators/temporal.range_join) — no
+    BroadcastNestedLoopJoin at any scale."""
+    from ..operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        F.expr("ts + INTERVAL 24 HOURS").alias("hi"),
+    )
+    points = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join(points, intervals, on="user_id", bucket_minutes=360)
+    return j.groupBy("window_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("ts").alias("first_click_ts"),
+        F.max("ts").alias("last_click_ts"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("click_value"),
+    )
+
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP subtotals + grand total in ONE pass.
+    Spark plans this as a single Expand + hash aggregate — one scan and one
+    shuffle for all three grouping levels, vs three scan+agg jobs unioned.
+    GROUPING() flags disambiguate 'NULL because subtotal' from a genuinely
+    NULL group value, which is what makes the rows hash-stable."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "n_orders", "total_price",
+    )
+
+
+@query(
+    "token_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[ \t\n\r]+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (training-data pipeline op): explode +
+    two-level aggregate; the shuffle is vocabulary-sized (map-side combine),
+    the top-k a TakeOrdered — no full sort (see text_analysis.token_topk)."""
+    from ..operators.text_analysis import token_topk as _topk
+
+    return _topk(_t(spark, sf_dir, "documents"), "text", k=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -2399,14 +2504,16 @@ _DRIVER_WINDOW: list[str] = [
     "f8_content_hash_dedup",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
-    "lsh_ann_topk",
     "ivf_ann_topk",
-    "embedding_near_dup_pairs",
-    "doc_fingerprints",
     # -- NEW this round (never driver-verified -> window priority); displaces
-    # hash_split_train_val_test + pack_sequences (r3-green, code unchanged)
+    # hash_split_train_val_test + pack_sequences + lsh_ann_topk +
+    # embedding_near_dup_pairs + doc_fingerprints (all r3-green, unchanged —
+    # 1 round stale, back through the window next round)
     "asof_last_purchase",
     "sessionize_events",
+    "range_join_post_purchase",
+    "rollup_order_stats",
+    "token_topk",
     "contamination_check",
     "pii_scrub",
     "p7_row_validity_gate",

@@ -100,3 +100,50 @@ def test_sessionize_partial_agg_before_final_exchange(spark):
     # the final (key, session_id) aggregate must map-side combine so the
     # second exchange ships per-session partials, not raw events
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_range_join_boundaries_and_multi_bucket(spark):
+    from medical_ocr_service_spark.operators.temporal import range_join
+
+    # bucket_minutes=60: the 10:30->13:30 interval spans 4 hourly buckets;
+    # matches must come through exactly one bucket each (no dup rows).
+    intervals = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T10:30:00"), _ts("2024-01-01T13:30:00")),
+            (200, 1, _ts("2024-01-02T00:00:00"), _ts("2024-01-02T00:00:00")),  # empty
+            (300, 2, _ts("2024-01-01T10:30:00"), _ts("2024-01-01T13:30:00")),  # other key
+        ],
+        "window_id long, user_id long, lo timestamp_ntz, hi timestamp_ntz",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T10:30:00")),  # == lo -> inclusive
+            (2, 1, _ts("2024-01-01T13:30:00")),  # == hi -> exclusive
+            (3, 1, _ts("2024-01-01T12:59:59")),  # mid-interval, bucket 2
+            (4, 1, _ts("2024-01-01T10:29:59")),  # just before lo
+            (5, 2, _ts("2024-01-02T00:00:00")),  # empty interval never matches
+        ],
+        "point_id long, user_id long, ts timestamp_ntz",
+    )
+    rows = range_join(points, intervals, on="user_id", bucket_minutes=60).collect()
+    got = sorted((r["point_id"], r["window_id"]) for r in rows)
+    assert got == [(1, 100), (3, 100)]
+
+
+def test_range_join_no_nested_loop_join(spark):
+    from medical_ocr_service_spark.operators.temporal import range_join
+
+    intervals = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "window_id long, user_id long, lo timestamp_ntz, hi timestamp_ntz",
+    )
+    points = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:30:00"))],
+        "point_id long, user_id long, ts timestamp_ntz",
+    )
+    plan = (
+        range_join(points, intervals, on="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
