@@ -287,3 +287,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(node, component_id) over an undirected pair graph — min-label
+    propagation, the last step of the dedup pipeline (LSH emits PAIRS; the
+    canonical-representative choice needs CLUSTERS).
+
+    component_id = min node id reachable from the node; only nodes that
+    appear in at least one edge are emitted (a singleton doc is trivially
+    its own cluster — no need to shuffle the whole corpus through the
+    graph loop).
+
+    Iterative plan (the GraphX/hash-to-min shape re-expressed as DataFrame
+    ops): each round every node takes min(own label, neighbours' labels) —
+    ONE shuffled join + map-side-combined min-aggregate per round,
+    converging in O(graph diameter) rounds (near-dup clusters are
+    shallow: diameter 2-4 in practice). localCheckpoint() after each round
+    truncates lineage so the plan stays constant-size instead of growing
+    by one join per iteration; the convergence probe is a limit(1) count
+    (early-exit, no full materialization beyond the checkpoint itself).
+
+    Deterministic: min() over node ids, no randomness, no float math.
+    Raises after ``max_iter`` non-converged rounds (pathological chains —
+    pre-split giant components or raise the cap).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )

@@ -2444,6 +2444,53 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(_t(spark, sf_dir, "documents"), "text", k=50)
 
 
+def _dedup_components_oracle_sql() -> str:
+    """Exact component oracle: the minhash pair SQL as a derived table, then
+    a recursive reachability walk — MIN(reach) per node IS the component id.
+    Exponential-path-safe at oracle scale only (the sf0.01 pair graph is
+    tiny); the Spark side is the iterative operator that scales."""
+    inner = _minhash_oracle_sql()
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({inner})),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+    ),
+    comp AS (SELECT node AS doc_id, MIN(reach) AS component_id
+             FROM walk GROUP BY node)
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS n_members
+    FROM comp
+    """
+
+
+@query("dedup_components", _dedup_components_oracle_sql())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from MinHash+LSH pairs via iterative min-label
+    propagation (operators/dedup.connected_components) — the step that turns
+    pair output into one-representative-per-cluster dedup. component_id =
+    min doc_id of the cluster; singleton docs are implicitly their own
+    cluster and not emitted."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=64, bands=16, shingle_k=5,
+        jaccard_threshold=0.8,
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    w = Window.partitionBy("component_id")
+    return cc.select(F.col("node").alias("doc_id"), "component_id").withColumn(
+        "n_members", F.count("*").over(w)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -2514,7 +2561,7 @@ _DRIVER_WINDOW: list[str] = [
     "range_join_post_purchase",
     "rollup_order_stats",
     "token_topk",
-    "contamination_check",
+    "dedup_components",  # displaces contamination_check (r3-green, unchanged)
     "pii_scrub",
     "p7_row_validity_gate",
     "s8_coalesce_upsert",

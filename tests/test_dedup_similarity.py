@@ -481,3 +481,45 @@ def test_real_png_features_and_compress(spark):
     w, h, arr = mm.decode_png(bytes(out["payload"]))
     assert (w, h) == (out["width"], out["height"]) == (450, 350)
     assert arr.shape == (350, 450, 3)
+
+
+def test_connected_components_chain_and_isolated_pair(spark):
+    from medical_ocr_service_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round) + pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (11, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_string_ids_and_duplicate_edges(spark):
+    from medical_ocr_service_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("b", "c"), ("z", "z")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    # min-label is lexicographic for strings; self-loop z stays its own
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_connected_components_max_iter_raises(spark):
+    import pytest as _pytest
+
+    from medical_ocr_service_spark.operators.dedup import connected_components
+
+    # a 5-chain cannot converge in 1 round of min-propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
