@@ -121,3 +121,39 @@ def contamination_pairs(
         .agg(F.countDistinct("sh").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def stratified_downsample(
+    df: DataFrame, stratum_col: str, key_col: str
+) -> DataFrame:
+    """Deterministic stratified downsampling to the MINORITY stratum size
+    (class balancing before training). A row survives iff its md5-derived
+    32-bit key hash clears a per-stratum integer threshold
+
+        u32(key) < floor(min_count * 2^32 / stratum_count)
+
+    so the expected kept size of every stratum is ~min_count. Everything is
+    integer math on the same md5 hash hash_split uses: the decision is a
+    pure function of (key, stratum census) — stable across runs, cluster
+    sizes, and in the DuckDB oracle; no RNG, no sampleBy seed drift.
+
+    Plan: the census groupBy is stratum-cardinality-sized (map-side
+    combined); thresholds are a tiny frame cross-joined with the 1-row min
+    and BROADCAST back onto the fact table — the filter is a narrow map, no
+    fact-table shuffle. At 10^12 rows note min_count * 2^32 can exceed
+    BIGINT; compute thresholds driver-side in Python ints (exact) if strata
+    exceed ~2^31 rows.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    thr = counts.crossJoin(mn).withColumn(
+        "thr", F.expr("(mn * CAST(4294967296 AS BIGINT)) DIV cnt")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thr.select(stratum_col, "thr")), stratum_col)
+        .filter(u32 < F.col("thr"))
+        .drop("thr")
+    )

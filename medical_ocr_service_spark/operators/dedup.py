@@ -359,3 +359,70 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (C4-style paragraph dedup over token windows)
+# ---------------------------------------------------------------------------
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Sub-document exact dedup: C4's paragraph-level dedup adapted to a
+    corpus without paragraph breaks — documents are cut into fixed-width
+    token chunks, each chunk is hashed, and the GLOBAL first occurrence
+    (min id) owns it. Emits per-doc retention stats:
+      (id, n_chunks, n_owned) — n_chunks = DISTINCT chunks in the doc,
+      n_owned = chunks this doc is the global owner of. A downstream pass
+      keeps only owned chunks (n_owned == n_chunks -> doc fully retained).
+
+    Plan (100 TB-safe):
+      * chunking is a narrow projection: sequence + transform + slice inside
+        the row, then ONE explode — no Python, no self-join;
+      * per-doc DISTINCT and the owner groupBy(hash) both map-side combine;
+        the shuffle carries (id, 16-byte-hex) pairs only, never chunk text
+        (the md5 is taken BEFORE the explode's shuffle boundary);
+      * owner re-attach is an equi-join on the hash — same key as the
+        groupBy, so AQE coalesces into the existing partitioning.
+
+    Tokenization is the corpus convention: ASCII whitespace split (the
+    Java-regex/RE2 agreement subset), empties dropped — the DuckDB oracle
+    replays it with string_split_regex + list_filter + 1-based inclusive
+    list slices (Spark's slice(start, length) twin).
+    """
+    toks_col = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\r]+"), lambda x: x != ""
+    )
+    with_toks = df.select(
+        F.col(id_col).alias("id"), toks_col.alias("tk")
+    ).filter(F.size("tk") > 0)  # guard BEFORE sequence(): 0, n-1 would descend
+    n_chunks = F.ceil(F.size("tk") / F.lit(float(chunk_tokens))).cast("long")
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda g: F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("tk"), (g * chunk_tokens + 1).cast("int"), chunk_tokens
+                ),
+                " ",
+            )
+        ),
+    )
+    per_doc = (
+        with_toks.select("id", F.explode(chunk_hashes).alias("h")).distinct()
+    )
+    owners = per_doc.groupBy("h").agg(F.min("id").alias("owner"))
+    return (
+        per_doc.join(owners, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("owner") == F.col("id"), 1).otherwise(0)
+            ).alias("n_owned"),
+        )
+        .select(F.col("id").alias(id_col), "n_chunks", "n_owned")
+    )

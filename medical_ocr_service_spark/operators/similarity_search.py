@@ -251,3 +251,54 @@ def cosine_near_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def quantize_int8_col(vec: Column) -> Column:
+    """Symmetric int8 quantization of a float vector: q_i = rhu(x_i * 127 /
+    max|x|) with rhu = floor(.+0.5) (round-half-up — floor is exact IEEE on
+    both engines, unlike round()'s HALF_UP-vs-banker divergence). Vectors
+    with max|x| == 0 map to NULL (callers filter)."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dv, F.abs))
+    return F.when(
+        amax > 0.0,
+        F.transform(dv, lambda x: F.floor(x * 127.0 / amax + 0.5)),
+    )
+
+
+def quantized_ann_topk(
+    emb: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k neighbours by INT8-quantized dot product — the memory-scale ANN
+    variant: at 10^12 vectors the float corpus doesn't fit executor RAM, so
+    the scan ranks on 4x-smaller int8 codes (symmetric quantization) and
+    only the k survivors are re-ranked in float upstream. The integer dot
+    product (<= 64 * 127^2 < 2^20 per pair) is exact in both engines — the
+    score is a BIGINT, so the driver hash can never wobble on a ulp.
+
+    Plan: quantize is a narrow projection; the single query row broadcasts;
+    the scan is one pass + TakeOrdered(k) — no shuffle of the corpus."""
+    base = emb.select(
+        F.col(id_col),
+        "label",
+        quantize_int8_col(F.col(vec_col)).alias("qv"),
+    ).filter(F.col("qv").isNotNull())
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("qv").alias("query_q")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "query_q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), "label", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), id_col)
+        .limit(k)
+    )

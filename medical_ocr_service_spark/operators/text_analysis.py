@@ -7,7 +7,7 @@ Language-ID (stopword-overlap heuristic), quality scoring, token counting
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -184,3 +184,69 @@ def token_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     ).filter(F.col("token") != "")
     counted = toks.groupBy("token").agg(F.count("*").alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def bm25_topk_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by BM25 in the ODDS form —
+    the doc-term-matrix operator (keyword extraction / quality features).
+
+    Classic BM25 is  ln(odds) * sat  with
+        odds = (N - df + 0.5) / (df + 0.5)
+        sat  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    ln() is monotone, so ranking by  odds * sat  gives the SAME per-document
+    top-k — and unlike ln, the odds form uses only IEEE +,-,*,/ on exact
+    integer inputs, making the score bit-identical across engines (JVM vs
+    DuckDB libm ln() may differ by 1 ulp; correctly-rounded arithmetic never
+    does). odds is computed as (2N - 2df + 1)/(2df + 1) so both operands are
+    exact integers-in-double.
+
+    Plan: tokenize (narrow) -> groupBy(doc, token) tf -> dl and df both
+    DERIVE from the tf frame (one tokenize, map-side combines everywhere).
+    df-per-token and the 2 corpus scalars are vocabulary-/unit-sized ->
+    broadcast back; the dl join and the final top-k window share the
+    groupBy(doc)'s hash partitioning, so the fact path shuffles on
+    (doc, token) once and on doc once.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[ \t\n\r]+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
+    corp = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    avgdl = F.col("total_tokens") / F.col("n_docs")  # long/long -> double
+    odds = (
+        2.0 * F.col("n_docs") - 2.0 * F.col("df") + 1.0
+    ) / (2.0 * F.col("df") + 1.0)
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * ((1.0 - b) + (b * F.col("dl")) / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(corp))
+        .withColumn("score", odds * sat)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "token",
+            "tf",
+            F.round("score", 6).alias("bm25_odds"),
+        )
+    )

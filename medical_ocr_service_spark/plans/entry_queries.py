@@ -2491,6 +2491,136 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_dedup_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+               g -> md5(array_to_string(tk[g*20+1 : g*20+20], ' ')))) AS h
+      FROM toks WHERE len(tk) > 0),
+    dch AS (SELECT DISTINCT doc_id, h FROM chunks),
+    own AS (SELECT h, MIN(doc_id) AS owner FROM dch GROUP BY h)
+    SELECT d.doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN o.owner = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_owned
+    FROM dch d JOIN own o USING (h)
+    GROUP BY d.doc_id
+    """,
+)
+def chunk_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: sub-document exact dedup (C4 paragraph dedup over
+    20-token chunks; operators/dedup.chunk_dedup_stats) — global first
+    occurrence owns each chunk; per-doc (n_chunks, n_owned) retention."""
+    from ..operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=20
+    )
+
+
+@query(
+    "stratified_balance_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    thr AS (SELECT lang, (mn * 4294967296) // cnt AS thr FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < thr.thr
+    """,
+)
+def stratified_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: deterministic class-balancing downsample to the
+    minority language's size (operators/datasets.stratified_downsample) —
+    integer hash-gate, no RNG; the census broadcasts, the fact table never
+    shuffles."""
+    from ..operators.datasets import stratified_downsample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_downsample(d, "lang", "doc_id").select("doc_id", "lang")
+
+
+@query(
+    "bm25_topk_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    corp AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             ((2.0 * corp.n_docs - 2.0 * f.df + 1.0) / (2.0 * f.df + 1.0))
+             * ((t.tf * 2.2)
+                / (t.tf + 1.2 * (0.25 + (0.75 * d.dl)
+                                        / (corp.total_tokens / corp.n_docs))))
+               AS score
+      FROM tf t JOIN dft f USING (token) JOIN dl d USING (doc_id), corp),
+    ranked AS (
+      SELECT doc_id, token, tf, ROUND(score, 6) AS bm25_odds,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, token, tf, bm25_odds FROM ranked WHERE rnk <= 3
+    """,
+)
+def bm25_topk_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: per-doc top-3 characteristic terms by BM25 in the
+    rank-equivalent ODDS form (operators/text_analysis.bm25_topk_terms) —
+    ln-free so the score is IEEE-bit-identical across engines; df and the
+    corpus scalars broadcast, the fact path shuffles once per key."""
+    from ..operators.text_analysis import bm25_topk_terms
+
+    return bm25_topk_terms(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+@query(
+    "quantized_ann_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS amax
+      FROM embeddings),
+    qt AS (
+      SELECT vec_id, label,
+             list_transform(e, x -> floor(x * 127.0 / amax + 0.5)) AS qv
+      FROM base WHERE amax > 0),
+    q AS (SELECT qv AS query_q FROM qt WHERE vec_id = 0)
+    SELECT c.vec_id, c.label,
+           CAST(list_dot_product(c.qv, q.query_q) AS BIGINT) AS qdot
+    FROM qt c, q WHERE c.vec_id <> 0
+    ORDER BY qdot DESC, c.vec_id LIMIT 10
+    """,
+)
+def quantized_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: int8-quantized dot-product top-k
+    (operators/similarity_search.quantized_ann_topk) — the 4x-smaller-codes
+    scan path for corpora whose float vectors exceed executor RAM; the
+    score is an exact BIGINT (dims * 127^2 < 2^20), ulp-proof by
+    construction."""
+    from ..operators.similarity_search import quantized_ann_topk
+
+    return quantized_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -2542,16 +2672,19 @@ _DRIVER_WINDOW: list[str] = [
     # -- r3-green load-bearing fill: keeps their evidence <=2 rounds old --
     "q1_pricing_summary",
     "a1_customer_rollup",
-    "a3_detail_stats",
-    "a12_confidence_fold",
     "t3_latest_argmax",
     "j8_detail_enrichment_3way",
-    "j11_training_antijoin",
     "ann_cosine_topk",
     "f8_content_hash_dedup",
     "minhash_near_dup_pairs",
-    "simhash_near_dup_pairs",
     "ivf_ann_topk",
+    # -- NEW this session (never driver-verified -> window priority);
+    # displaces a3_detail_stats + a12_confidence_fold + j11_training_antijoin
+    # + simhash_near_dup_pairs (all r3-green, unchanged — back next round)
+    "chunk_dedup_stats",
+    "stratified_balance_sample",
+    "bm25_topk_terms",
+    "quantized_ann_topk",
     # -- NEW this round (never driver-verified -> window priority); displaces
     # hash_split_train_val_test + pack_sequences + lsh_ann_topk +
     # embedding_near_dup_pairs + doc_fingerprints (all r3-green, unchanged —

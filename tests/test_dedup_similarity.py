@@ -523,3 +523,83 @@ def test_connected_components_max_iter_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_chunk_dedup_stats_ownership(spark):
+    # doc 0 owns the shared 5-token chunk (min id); doc 1 shares it verbatim
+    # plus a unique chunk; doc 2 has NO whitespace tokens -> dropped.
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, shared + " zeta eta theta iota kappa"),
+            (2, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup.chunk_dedup_stats(df, "text", "doc_id", chunk_tokens=5)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in out] == [0, 1]
+    d0, d1 = out
+    assert (d0["n_chunks"], d0["n_owned"]) == (1, 1)
+    assert (d1["n_chunks"], d1["n_owned"]) == (2, 1)  # shared chunk owned by 0
+
+
+def test_chunk_dedup_within_doc_duplicates_count_once(spark):
+    # the same 2-token chunk repeated inside ONE doc is one DISTINCT chunk
+    df = spark.createDataFrame(
+        [(7, "x y x y")], "doc_id long, text string"
+    )
+    row = dedup.chunk_dedup_stats(df, "text", "doc_id", chunk_tokens=2).first()
+    assert (row["n_chunks"], row["n_owned"]) == (1, 1)
+
+
+def test_quantized_ann_matches_float_ranking_on_separable_data(spark):
+    # axis-aligned clusters: int8 quantization preserves the coarse ranking
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # nearest to query
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+        (4, [0.0, 0.0, 0.0, 0.0], 3),   # zero vector -> filtered out
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
+    out = similarity_search.quantized_ann_topk(df, query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    # q1 = [floor(0.9*127/0.9+.5), floor(0.1*127/0.9+.5)] = [127, 14];
+    # query q0 = [127, 0, 0, 0] -> dot = 127*127
+    assert out[0]["qdot"] == 127 * 127
+
+
+def test_stratified_downsample_balances_and_is_deterministic(spark):
+    from medical_ocr_service_spark.operators.datasets import (
+        stratified_downsample,
+    )
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out1 = stratified_downsample(df, "stratum", "doc_id").toPandas()
+    out2 = stratified_downsample(df, "stratum", "doc_id").toPandas()
+    # pure function of key: identical row sets across runs
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    counts = out1.groupby("stratum")["doc_id"].count()
+    assert counts["small"] == 40          # minority stratum kept whole
+    assert 20 <= counts["big"] <= 62      # ~40 expected, hash-binomial spread
+
+
+def test_bm25_topk_terms_prefers_rare_terms(spark):
+    docs = [
+        (0, "common common common rare common"),
+        (1, "common common unique common common"),
+        (2, "common common common common common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text_analysis.bm25_topk_terms(df, "text", "doc_id", k=1).toPandas()
+    by_doc = dict(zip(out["doc_id"], out["token"]))
+    assert by_doc[0] == "rare"
+    assert by_doc[1] == "unique"
+    assert by_doc[2] == "common"
+    assert set(out.columns) == {"doc_id", "token", "tf", "bm25_odds"}
