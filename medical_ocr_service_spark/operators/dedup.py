@@ -426,3 +426,33 @@ def chunk_dedup_stats(
         )
         .select(F.col("id").alias(id_col), "n_chunks", "n_owned")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup removal: pairs -> components -> surviving corpus
+# ---------------------------------------------------------------------------
+
+def dedup_corpus(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The composed dedup operation a training pipeline actually runs:
+    given the corpus and its near-dup PAIR output (any of
+    minhash_lsh_pairs / simhash_near_pairs / cosine_near_pairs), return
+    the SURVIVING corpus — one representative (min id) per near-dup
+    cluster, all singletons untouched.
+
+    Plan (100 TB-safe): connected_components runs over the PAIR graph only
+    (ids, never text — near-dup pairs are a vanishing fraction of the
+    corpus); the drop-list is cluster members that are not their own
+    component_id; removal is ONE left_anti hash join of the corpus against
+    the ids-only drop-list (broadcastable whenever duplicates are rare,
+    which AQE decides from the runtime size). The corpus is scanned once
+    and never reshuffled.
+    """
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    drop = cc.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -2491,6 +2491,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_survivors_oracle_sql() -> str:
+    """Survivor oracle: the component walk of _dedup_components_oracle_sql,
+    then an anti-join of the corpus against the non-representative members."""
+    inner = _minhash_oracle_sql()
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({inner})),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+    ),
+    drop_ids AS (SELECT node FROM walk GROUP BY node
+                 HAVING MIN(reach) <> node)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drop_ids)
+    """
+
+
+@query("dedup_survivors", _dedup_survivors_oracle_sql())
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: the COMPOSED near-dup removal a pipeline actually
+    ships (operators/dedup.dedup_corpus) — MinHash+LSH pairs -> connected
+    components -> one min-id representative per cluster -> ids-only
+    left_anti removal. The corpus is scanned once; only pair-graph ids
+    ride the iterative loop."""
+    from ..operators.dedup import dedup_corpus, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=64, bands=16, shingle_k=5,
+        jaccard_threshold=0.8,
+    )
+    return dedup_corpus(d, pairs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 @query(
     "chunk_dedup_stats",
     """
@@ -2676,8 +2715,11 @@ _DRIVER_WINDOW: list[str] = [
     "j8_detail_enrichment_3way",
     "ann_cosine_topk",
     "f8_content_hash_dedup",
-    "minhash_near_dup_pairs",
+    # minhash_near_dup_pairs rotates OUT (r3-green, unchanged): its pair SQL
+    # is the derived table inside BOTH dedup_components and dedup_survivors,
+    # so the driver still executes it transitively this round.
     "ivf_ann_topk",
+    "dedup_survivors",  # NEW: composed pairs->components->anti-join removal
     # -- NEW this session (never driver-verified -> window priority);
     # displaces a3_detail_stats + a12_confidence_fold + j11_training_antijoin
     # + simhash_near_dup_pairs (all r3-green, unchanged — back next round)

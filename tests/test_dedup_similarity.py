@@ -603,3 +603,32 @@ def test_bm25_topk_terms_prefers_rare_terms(spark):
     assert by_doc[1] == "unique"
     assert by_doc[2] == "common"
     assert set(out.columns) == {"doc_id", "token", "tf", "bm25_odds"}
+
+
+def test_dedup_corpus_keeps_representatives_and_singletons(spark, dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, "text", "doc_id", n_hashes=64, bands=32, shingle_k=3,
+        jaccard_threshold=0.99,
+    )
+    out = dedup.dedup_corpus(dup_docs, pairs, "doc_id").toPandas()
+    kept = set(out["doc_id"])
+    # exact-dup pairs (b, b+1) collapse to min id b; near-dups (jaccard<0.99)
+    # stay; the singleton survives untouched
+    for b in (0, 10, 20):
+        assert b in kept and (b + 1) not in kept
+        assert (b + 2) in kept
+    assert 99 in kept
+    assert set(out.columns) == set(dup_docs.columns)
+
+
+def test_dedup_corpus_transitive_cluster_one_survivor(spark):
+    # a-b and b-c near-dup pairs, a-c never compared: the component walk
+    # must still collapse all three to one representative (min id)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_corpus(df, pairs, "doc_id").toPandas()
+    assert sorted(out["doc_id"]) == [1, 9]
