@@ -632,3 +632,55 @@ def test_dedup_corpus_transitive_cluster_one_survivor(spark):
     )
     out = dedup.dedup_corpus(df, pairs, "doc_id").toPandas()
     assert sorted(out["doc_id"]) == [1, 9]
+
+
+def _chunk_dedup_py(rows, chunk_tokens=20):
+    """Pure-Python replay of chunk_dedup_stats: whitespace-split tokens,
+    fixed-width chunks, global min-id chunk ownership."""
+    import hashlib
+
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().replace("\t", " ")
+                .replace("\n", " ").replace("\r", " ").split(" ") if t]
+        if not toks:
+            continue
+        hs = set()
+        for g in range(0, len(toks), chunk_tokens):
+            hs.add(hashlib.md5(
+                " ".join(toks[g:g + chunk_tokens]).encode()).hexdigest())
+        per_doc[doc_id] = hs
+    owner = {}
+    for doc_id, hs in per_doc.items():
+        for h in hs:
+            owner[h] = min(owner.get(h, doc_id), doc_id)
+    return {
+        d: (len(hs), sum(1 for h in hs if owner[h] == d))
+        for d, hs in per_doc.items()
+    }
+
+
+def test_chunk_dedup_stats_property_fuzzed(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "Y9"])
+    doc = st.lists(words, min_size=0, max_size=50).map(" ".join)
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_owned"])
+            for r in dedup.chunk_dedup_stats(
+                df, "text", "doc_id", chunk_tokens=5
+            ).collect()
+        }
+        assert got == _chunk_dedup_py(rows, chunk_tokens=5)
+
+    run()
