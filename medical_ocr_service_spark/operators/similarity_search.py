@@ -302,3 +302,69 @@ def quantized_ann_topk(
         .orderBy(F.desc("qdot"), id_col)
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label mean embedding: (label, centroid array<double>).
+
+    Plan: posexplode is narrow; the groupBy(label, pos) shuffle carries
+    (label, pos, partial-sum) only and map-side combines down to
+    labels x dims rows — at 10^12 vectors the exchange is centroid-sized,
+    not corpus-sized. The array rebuild sorts on pos (collect_list order is
+    shuffle-dependent; never rely on it)."""
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("c")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bottom_k: int = 5,
+) -> DataFrame:
+    """Embedding-based data-quality pass: the ``bottom_k`` vectors per label
+    by cosine similarity to their OWN label centroid — mislabeled or
+    off-distribution examples surface at the bottom of the ranking (the
+    standard embedding-outlier filter in training-data curation).
+
+    Plan: centroids are labels x dims (tiny) -> BROADCAST equi-join back on
+    label; the cosine is a JVM higher-order fold (no Python); the per-label
+    bottom-k is one window over the label partitioning. The corpus shuffles
+    once, on label, for the window. Zero-norm vectors are excluded up front
+    (cosine undefined; both engines would otherwise coin-flip a 0.0 rank)."""
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    base = emb.filter(norm > 0.0)
+    cents = label_centroids(base, vec_col, label_col)
+    scored = base.join(
+        F.broadcast(cents), base[label_col] == cents["label"]
+    ).select(
+        F.col(id_col),
+        base[label_col].alias(label_col),
+        F.round(cosine_col(F.col(vec_col), F.col("centroid")), 6).alias(
+            "cos_centroid"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc("cos_centroid"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= bottom_k)
+        .select(id_col, label_col, "cos_centroid", "rnk")
+    )

@@ -2491,6 +2491,55 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "centroid_outliers",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+    ),
+    ex AS (
+      SELECT label, u.pos, u.val
+      FROM (SELECT label,
+                   unnest(list_transform(
+                     e, (x, i) -> struct_pack(pos := i, val := x))) AS u
+            FROM base)
+    ),
+    cent AS (SELECT label, pos, AVG(val) AS c FROM ex GROUP BY label, pos),
+    centarr AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT b.vec_id, b.label,
+             ROUND(list_dot_product(b.e, c.centroid)
+                   / (sqrt(list_dot_product(b.e, b.e))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))),
+                   6) AS cos_centroid
+      FROM base b JOIN centarr c USING (label)
+    ),
+    ranked AS (
+      SELECT vec_id, label, cos_centroid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY cos_centroid, vec_id) AS INT)
+               AS rnk
+      FROM scored)
+    SELECT vec_id, label, cos_centroid, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: embedding outlier detection — bottom-5 vectors per
+    label by cosine to their own label centroid
+    (operators/similarity_search.centroid_outliers). Centroids are
+    labels x dims (broadcast); the corpus shuffles once, on label."""
+    from ..operators.similarity_search import centroid_outliers
+
+    return centroid_outliers(
+        _t(spark, sf_dir, "embeddings"), bottom_k=5
+    )
+
+
 def _dedup_survivors_oracle_sql() -> str:
     """Survivor oracle: the component walk of _dedup_components_oracle_sql,
     then an anti-join of the corpus against the non-representative members."""
@@ -2715,11 +2764,12 @@ _DRIVER_WINDOW: list[str] = [
     "j8_detail_enrichment_3way",
     "ann_cosine_topk",
     "f8_content_hash_dedup",
-    # minhash_near_dup_pairs rotates OUT (r3-green, unchanged): its pair SQL
-    # is the derived table inside BOTH dedup_components and dedup_survivors,
-    # so the driver still executes it transitively this round.
-    "ivf_ann_topk",
+    # minhash_near_dup_pairs and ivf_ann_topk rotate OUT (both r3-green,
+    # unchanged): the minhash pair SQL is the derived table inside BOTH
+    # dedup_components and dedup_survivors, so the driver still executes it
+    # transitively this round.
     "dedup_survivors",  # NEW: composed pairs->components->anti-join removal
+    "centroid_outliers",  # NEW: per-label embedding outlier bottom-k
     # -- NEW this session (never driver-verified -> window priority);
     # displaces a3_detail_stats + a12_confidence_fold + j11_training_antijoin
     # + simhash_near_dup_pairs (all r3-green, unchanged — back next round)

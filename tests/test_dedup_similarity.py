@@ -684,3 +684,29 @@ def test_chunk_dedup_stats_property_fuzzed(spark):
         assert got == _chunk_dedup_py(rows, chunk_tokens=5)
 
     run()
+
+
+def test_centroid_outliers_surfaces_mislabel(spark):
+    # label 0 clusters on axis x; vec 9 is labeled 0 but points along y —
+    # it must rank 1 (lowest cosine to the label-0 centroid). Zero vectors
+    # are excluded entirely.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [1.0, 0.05, 0.0, 0.0], 0),
+        (9, [0.0, 1.0, 0.0, 0.0], 0),   # mislabeled
+        (4, [0.0, 0.0, 0.0, 0.0], 1),   # zero norm -> dropped
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    out = similarity_search.centroid_outliers(df, bottom_k=2).toPandas()
+    lbl0 = out[out["label"] == 0].sort_values("rnk")
+    assert list(lbl0["vec_id"])[0] == 9
+    assert lbl0.iloc[0]["cos_centroid"] < lbl0.iloc[1]["cos_centroid"]
+    # the zero vector never appears, in any label
+    assert 4 not in set(out["vec_id"])
+    # label 1 has one member left: its cosine to its own centroid is 1
+    lbl1 = out[out["label"] == 1]
+    assert list(lbl1["vec_id"]) == [5] and lbl1.iloc[0]["cos_centroid"] == 1.0
