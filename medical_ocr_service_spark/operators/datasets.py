@@ -157,3 +157,81 @@ def stratified_downsample(
         .filter(u32 < F.col("thr"))
         .drop("thr")
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Exact equal-frequency bucketing (SQL ``ntile`` semantics) WITHOUT the
+    single-partition global sort ntile() plans — the curriculum/difficulty
+    binning step of a dataset pipeline (e.g. length deciles).
+
+    A window ``ntile(B) OVER (ORDER BY v, id)`` funnels the whole corpus
+    through ONE task. This operator gets the identical assignment from
+    arithmetic on a value histogram instead:
+
+      1. groupBy(value) count — histogram-sized (distinct values, not rows),
+         map-side combined;
+      2. a cumulative sum over the (tiny) histogram yields, per value, how
+         many rows sort strictly before it — the only global sort is over
+         DISTINCT values;
+      3. broadcast-join the offsets back; global_rank = offset +
+         row_number() over (PARTITION BY value ORDER BY id) — partitions are
+         bounded by the count of EXACT ties, not corpus size;
+      4. SQL ntile gives the FIRST (N mod B) buckets one extra row (not an
+         even spread), so with q = N div B and rem = N mod B:
+           rank <= rem*(q+1)  ->  bucket = (rank-1) div (q+1) + 1
+           otherwise          ->  bucket = rem + (rank - rem*(q+1) - 1) div q + 1
+         — pure integer math, reproducing the window spec exactly
+         (pinned against ntile() itself in tests/test_pipeline_ops.py on an
+         uneven 23-row/10-bucket split).
+
+    Skew note: a corpus where one exact value holds a macroscopic row share
+    (constant-length synthetic text) re-concentrates step 3; the fix is
+    widening the histogram key to (value, hash-prefix of id) — not needed
+    for natural length/score distributions.
+
+    Returns df + ``bucket`` (int). Deterministic: ties order by id.
+    """
+    hist = df.groupBy(value_col).agg(F.count("*").alias("_c"))
+    w_cum = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # both windows run over the HISTOGRAM (distinct values), so the
+    # single-partition warning they trigger is bounded by value cardinality,
+    # not corpus size; carrying N on every offsets row replaces a third
+    # fact-lineage scan + BroadcastNestedLoopJoin with columns in the same
+    # broadcast.
+    offsets = hist.select(
+        value_col,
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_before"),
+        F.sum("_c").over(w_all).alias("_n_total"),
+    )
+    w_ties = Window.partitionBy(value_col).orderBy(id_col)
+    return (
+        df.join(F.broadcast(offsets), value_col)
+        .withColumn(
+            "_rank", F.col("_before") + F.row_number().over(w_ties)
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"""CAST(CASE
+                  WHEN _rank <= (_n_total % {int(n_buckets)})
+                              * (_n_total DIV {int(n_buckets)} + 1)
+                  THEN (_rank - 1) DIV (_n_total DIV {int(n_buckets)} + 1)
+                  ELSE (_n_total % {int(n_buckets)})
+                       + (_rank - (_n_total % {int(n_buckets)})
+                                  * (_n_total DIV {int(n_buckets)} + 1) - 1)
+                         DIV GREATEST(_n_total DIV {int(n_buckets)}, 1)
+                END AS INT) + 1"""
+            ),
+        )
+        .drop("_before", "_n_total", "_rank")
+    )

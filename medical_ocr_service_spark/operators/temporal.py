@@ -60,6 +60,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(df: DataFrame, col: str) -> Column:
+    """Exact integer microseconds since epoch. unix_micros only accepts
+    TIMESTAMP; TIMESTAMP_NTZ columns get the zone-free timestampdiff against
+    an NTZ epoch anchor instead. Callers comparing two columns must draw
+    both from frames that agree on zone-ness (same source table in
+    practice); absolute alignment cancels out — only consistency matters."""
+    if dict(df.dtypes)[col] == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
+
+
 def as_of_join(
     probe: DataFrame,
     build: DataFrame,
@@ -207,17 +220,6 @@ def range_join(
     """
     width_us = int(bucket_minutes) * 60 * 1_000_000
 
-    def _epoch_us(df: DataFrame, col: str) -> Column:
-        # unix_micros only accepts TIMESTAMP; TIMESTAMP_NTZ columns get the
-        # zone-free timestampdiff against an NTZ epoch anchor instead. Both
-        # frames must agree on zone-ness (same source table in practice);
-        # absolute alignment cancels out — only consistency matters.
-        if dict(df.dtypes)[col] == "timestamp_ntz":
-            return F.expr(
-                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
-            )
-        return F.unix_micros(F.col(col))
-
     pb = points.withColumn(
         "_bkt", F.floor(_epoch_us(points, ts) / F.lit(width_us))
     )
@@ -235,3 +237,52 @@ def range_join(
         (F.col(ts) >= F.col(lo)) & (F.col(ts) < F.col(hi))
     )
     return joined.drop("_bkt")
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival statistics: for each key with >= 2 events,
+    the event count and the max / mean gap between consecutive events —
+    the activity-cadence features behind session-timeout tuning, bot
+    detection, and stale-feed monitoring at event-stream scale.
+
+    Plan: LAG(ts) over (key ORDER BY ts, tiebreak) marks each event with
+    its predecessor's timestamp; gaps are computed in exact integer
+    MICROSECONDS (unix_micros — no float truncation, summation-order-
+    independent), then one aggregate per key. The window scan and the
+    aggregate share the (key) hash partitioning, so the raw events shuffle
+    ONCE; the per-key state is O(1). The mean is emitted as a single
+    double division of two exact integers (sum_gap_us / (n_gaps * 1e6)) —
+    bit-identical across engines, unlike averaging per-row doubles.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(ts_col), F.asc(tiebreak_col)
+    )
+    us = _epoch_us(df, ts_col)
+    gapped = df.select(
+        F.col(key_col),
+        (us - F.lag(us).over(w)).alias("_gap_us"),
+    )
+    out = (
+        gapped.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("_gap_us").alias("_n_gaps"),
+            F.max("_gap_us").alias("max_gap_us"),
+            F.sum("_gap_us").alias("_sum_gap_us"),
+        )
+        .filter(F.col("_n_gaps") >= 1)
+    )
+    avg_gap_s = F.col("_sum_gap_us").cast("double") / (
+        F.col("_n_gaps") * F.lit(1000000.0)
+    )
+    return out.select(
+        key_col,
+        "n_events",
+        "max_gap_us",
+        F.round(avg_gap_s, 6).alias("avg_gap_s"),
+    )

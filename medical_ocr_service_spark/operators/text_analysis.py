@@ -186,6 +186,78 @@ def token_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     return counted.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
+def unigram_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bottom_k: int = 20,
+) -> DataFrame:
+    """Corpus-LM quality score (CCNet-style): rank documents by how familiar
+    their tokens are under the corpus's OWN unigram model, and return the
+    bottom-k — the most out-of-distribution docs (boilerplate explosions,
+    wrong-language fragments, OCR noise), the rows a pretraining pipeline
+    routes to review or drops.
+
+    CCNet scores with a perplexity (mean log-prob), but log() is libm
+    territory — JVM and DuckDB may differ by 1 ulp, breaking cross-engine
+    hashes. The familiarity score here is the MEAN UNIGRAM PROBABILITY of
+    the doc's tokens:
+
+        familiarity = (1/dl) * sum_t p(t) = mass / (total_tokens * dl)
+        with  mass = sum over doc tokens of corpus_count(token)
+
+    mass, total_tokens and dl are all INTEGER aggregates (exact, summation-
+    order-independent); the score is ONE double division at the end —
+    bit-identical on every engine. It is not rank-equivalent to perplexity
+    (arithmetic vs geometric mean) but orders the same pathologies: a doc of
+    corpus-rare tokens scores near 1/total, a doc of stopwords near the
+    head-token mass.
+
+    Plan: one tokenize -> groupBy(doc, token) tf -> corpus counts DERIVE
+    from the tf frame (vocabulary-sized, map-side combined) and broadcast
+    back -> one groupBy(doc) for (mass, dl) -> TakeOrdered bottom-k. The
+    corpus-sized path shuffles on (doc, token) once and doc once; the
+    corpus-total scalar crossJoins as a broadcast. mass fits int64 up to
+    ~10^18 token-occurrence products (dl ~ 10^3 x head-count ~ 10^13 at
+    100 TB leaves 2 orders of margin; the DECIMAL(38,0) cast removes even
+    that ceiling).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[ \t\n\r]+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("total_tokens")
+    )
+    per_doc = (
+        tf.join(F.broadcast(vocab), "token")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                (F.col("tf") * F.col("cnt")).cast("decimal(38,0)")
+            ).alias("mass"),
+            F.sum("tf").alias("dl"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    score = F.col("mass").cast("double") / (
+        F.col("total_tokens").cast("double") * F.col("dl")
+    )
+    return (
+        per_doc.select(
+            F.col("id").alias(id_col),
+            F.col("dl"),
+            F.round(score, 9).alias("familiarity"),
+        )
+        .orderBy(F.asc("familiarity"), F.asc(id_col))
+        .limit(bottom_k)
+    )
+
+
 def bm25_topk_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -2709,6 +2709,211 @@ def quantized_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_familiarity_bottomk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY token),
+    corp AS (SELECT CAST(SUM(cnt) AS DECIMAL(38,0)) AS total_tokens
+             FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(t.tf AS DECIMAL(38,0)) * v.cnt) AS DECIMAL(38,0))
+               AS mass,
+             CAST(SUM(t.tf) AS BIGINT) AS dl
+      FROM tf t JOIN vocab v USING (token) GROUP BY t.doc_id)
+    SELECT doc_id, dl,
+           ROUND(CAST(mass AS DOUBLE)
+                 / (CAST(corp.total_tokens AS DOUBLE) * dl), 9) AS familiarity
+    FROM per_doc, corp
+    ORDER BY familiarity, doc_id
+    LIMIT 20
+    """,
+)
+def unigram_familiarity_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: corpus-LM quality scoring (CCNet-style) — the 20
+    most out-of-distribution docs by mean unigram probability under the
+    corpus's own LM (operators/text_analysis.unigram_familiarity). All
+    integer aggregation until one final double division, so the score is
+    ulp-proof cross-engine where a log-prob perplexity would not be."""
+    from ..operators.text_analysis import unigram_familiarity
+
+    return unigram_familiarity(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", bottom_k=20
+    )
+
+
+@query(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(gap_us) AS n_gaps,
+             MAX(gap_us) AS max_gap_us,
+             CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+      FROM g GROUP BY user_id)
+    SELECT user_id, n_events, max_gap_us,
+           ROUND(CAST(sum_gap_us AS DOUBLE) / (n_gaps * 1000000.0), 6)
+             AS avg_gap_s
+    FROM agg WHERE n_gaps >= 1
+    """,
+)
+def interarrival_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-cadence features: max/mean inter-arrival gap via ONE
+    LAG window + one aggregate sharing the same user_id partitioning
+    (operators/temporal.interarrival_stats) — gaps in exact integer
+    microseconds, the mean a single division of two exact integers."""
+    from ..operators.temporal import interarrival_stats
+
+    return interarrival_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id"
+    )
+
+
+@query(
+    "salted_event_rollup",
+    """
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (operators/skew.salted_group_agg): the hot-key
+    census pattern for 100 TB provenance rollups — stage 1 spreads each key
+    over 16 deterministic hash salts, stage 2 merges the partials. DECIMAL
+    sums make the two-stage reassociation EXACT, so the plain single-stage
+    GROUP BY is the oracle, bit for bit."""
+    from ..operators.skew import salted_group_agg
+
+    return salted_group_agg(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        salt_from="event_id", n_salts=16,
+    )
+
+
+@query(
+    "moving_avg_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY day)
+    SELECT day,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(rev) OVER (
+                  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                2) AS DOUBLE) AS revenue_7d,
+           CAST(COUNT(*) OVER (
+                  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS INT) AS n_days_7d
+    FROM daily
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window coverage: 7-day trailing revenue over the daily
+    rollup. The frame window runs AFTER the groupBy collapses the corpus to
+    one row per day, so the unpartitioned ORDER BY day window sorts
+    days-cardinality rows (~10^4 for decades of data), never the fact
+    table; sums stay DECIMAL end-to-end (exact, order-independent)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w7), 2).cast("double").alias("revenue_7d"),
+        F.count("*").over(w7).cast("int").alias("n_days_7d"),
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Survivor oracle over the EMBEDDING near-dup pair graph: the exact
+    component walk of _dedup_survivors_oracle_sql with the SRP-bucketed
+    cosine pair SQL as the edge source."""
+    inner = _embedding_near_dup_oracle(0.4, 6)
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({inner})),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+    ),
+    drop_ids AS (SELECT node FROM walk GROUP BY node
+                 HAVING MIN(reach) <> node)
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT node FROM drop_ids)
+    """
+
+
+@query("semantic_dedup_survivors", _semantic_dedup_oracle_sql())
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: SemDeDup-style semantic dedup END-TO-END — cosine
+    near-dup pairs (SRP-LSH blocked) -> connected components -> one min-id
+    representative per cluster -> ids-only anti-join removal. Same composed
+    dedup_corpus operator as the MinHash path (pair-source-generic);
+    threshold 0.4 exercises it on the synthetic corpus (max pairwise cosine
+    ~0.51), production semantic dedup runs 0.95+."""
+    from ..operators.dedup import dedup_corpus
+    from ..operators.similarity_search import cosine_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(e, threshold=0.4, n_planes=6)
+    return dedup_corpus(e, pairs, "vec_id").select("vec_id", "label")
+
+
+@query(
+    "length_deciles",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM r GROUP BY decile
+    """,
+)
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency length deciles WITHOUT ntile's single-partition
+    global sort (operators/datasets.exact_ntile): the assignment derives
+    from a histogram cumsum + integer arithmetic — the only global sort is
+    over DISTINCT lengths. The oracle is the ntile() spec itself, proving
+    the histogram formulation reproduces SQL semantics row-for-row."""
+    from ..operators.datasets import exact_ntile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    binned = exact_ntile(d, "n_chars", "doc_id", n_buckets=10)
+    return binned.groupBy(F.col("bucket").alias("decile")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 4
+        ).alias("avg_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -2757,13 +2962,12 @@ _DRIVER_WINDOW: list[str] = [
     "s2_snapshot_merge",             # snapshot substrate reworked (CAS/deltas)
     "extraction_e2e_headers",        # rows-only by design
     "extraction_e2e_details",        # rows-only by design
-    # -- r3-green load-bearing fill: keeps their evidence <=2 rounds old --
-    "q1_pricing_summary",
-    "a1_customer_rollup",
-    "t3_latest_argmax",
-    "j8_detail_enrichment_3way",
-    "ann_cosine_topk",
-    "f8_content_hash_dedup",
+    # -- r3-green load-bearing fill: keeps their evidence <=2 rounds old.
+    # q1_pricing_summary, a1_customer_rollup, j8_detail_enrichment_3way,
+    # ann_cosine_topk and f8_content_hash_dedup rotate OUT (all r3-green,
+    # code untouched this round) in favour of the six never-driver-verified
+    # queries below; they come back through the window next round.
+    "t3_latest_argmax",  # stays: argmax rework this round must re-prove
     # minhash_near_dup_pairs and ivf_ann_topk rotate OUT (both r3-green,
     # unchanged): the minhash pair SQL is the derived table inside BOTH
     # dedup_components and dedup_survivors, so the driver still executes it
@@ -2787,9 +2991,17 @@ _DRIVER_WINDOW: list[str] = [
     "rollup_order_stats",
     "token_topk",
     "dedup_components",  # displaces contamination_check (r3-green, unchanged)
-    "pii_scrub",
     "p7_row_validity_gate",
     "s8_coalesce_upsert",
+    # -- NEW this session (never driver-verified -> window priority);
+    # displaces the five rotated-out fills above plus pii_scrub (r3-green,
+    # unchanged — back next round)
+    "unigram_familiarity_bottomk",
+    "interarrival_stats",
+    "salted_event_rollup",
+    "moving_avg_daily_revenue",
+    "semantic_dedup_survivors",
+    "length_deciles",
 ]
 
 

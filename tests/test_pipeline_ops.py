@@ -1,0 +1,127 @@
+"""Unit tests for the round-4 pipeline operators: exact_ntile, salted
+aggregation, inter-arrival stats, and corpus-LM familiarity.
+
+The oracle parity for each is already driver-replicated in
+test_relational.py; these tests pin the SEMANTIC edges the oracle data may
+not exercise (ntile's uneven-bucket split, single-event keys, empty docs,
+bit-exact salted-vs-unsalted equality).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from medical_ocr_service_spark.operators.datasets import exact_ntile
+from medical_ocr_service_spark.operators.skew import salted_group_agg
+from medical_ocr_service_spark.operators.temporal import interarrival_stats
+from medical_ocr_service_spark.operators.text_analysis import (
+    unigram_familiarity,
+)
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    # 23 rows over 10 buckets: N mod B = 3, so buckets 1-3 get 3 rows and
+    # 4-10 get 2 — the uneven split ntile specifies. Values collide
+    # (ties) so the per-value row_number path is exercised too.
+    rows = [(i, (i * 7) % 5) for i in range(23)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    from pyspark.sql import Window
+
+    expected = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id",
+            F.ntile(10).over(Window.orderBy("v", "id")).alias("b"),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile(df, "v", "id", n_buckets=10).collect()
+    }
+    assert got == expected
+
+
+def test_exact_ntile_divisible_and_single_bucket(spark):
+    df = spark.createDataFrame([(i, i) for i in range(20)], ["id", "v"])
+    buckets = [
+        r["bucket"]
+        for r in exact_ntile(df, "v", "id", n_buckets=4)
+        .orderBy("v")
+        .collect()
+    ]
+    assert buckets == [1] * 5 + [2] * 5 + [3] * 5 + [4] * 5
+    assert {
+        r["bucket"] for r in exact_ntile(df, "v", "id", n_buckets=1).collect()
+    } == {1}
+
+
+def test_salted_agg_equals_unsalted(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    salted = salted_group_agg(
+        events, "event_type", "value", salt_from="event_id", n_salts=16
+    )
+    plain = events.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
+    a = {r["event_type"]: (r["n_rows"], r["total_value"]) for r in salted.collect()}
+    b = {r["event_type"]: (r["n_rows"], r["total_value"]) for r in plain.collect()}
+    assert a == b  # DECIMAL partials reassociate exactly — bit-identical
+
+
+def test_salted_agg_plan_has_two_stage_aggregate(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = salted_group_agg(
+        events, "event_type", "value", salt_from="event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    # stage 1 keys on (key, salt): the first exchange must carry _salt so
+    # the hot key spreads across reducers before the per-key merge.
+    assert "_salt" in plan
+
+
+def test_interarrival_gaps_and_single_event_exclusion(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10),
+        (1, t0 + dt.timedelta(seconds=5), 11),
+        (1, t0 + dt.timedelta(seconds=20), 12),  # gaps 5s, 15s
+        (2, t0, 20),  # single event -> excluded
+        (3, t0, 30),
+        (3, t0, 31),  # zero gap, tie broken by event_id
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {
+        r["user_id"]: (r["n_events"], r["max_gap_us"], r["avg_gap_s"])
+        for r in interarrival_stats(df, "user_id", "ts", "event_id").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1] == (3, 15_000_000, 10.0)  # mean(5s, 15s)
+    assert out[3] == (2, 0, 0.0)
+
+
+def test_unigram_familiarity_orders_rare_docs_first(spark):
+    # corpus: 'the' dominates; doc 3 is pure hapax -> lowest familiarity.
+    rows = [
+        (1, "the the the the"),
+        (2, "the the cat"),
+        (3, "zyx qwv"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = unigram_familiarity(df, "text", "doc_id", bottom_k=3).collect()
+    assert [r["doc_id"] for r in out] == [3, 2, 1]
+    # total=9 tokens; doc3 mass = 1+1 -> 2/(9*2) ~ 0.111111111
+    assert abs(out[0]["familiarity"] - round(2 / 18, 9)) < 1e-12
+    # doc1: mass = tf(the)*cnt(the) = 4*6 = 24 -> 24/(9*4)
+    assert abs(out[2]["familiarity"] - round(24 / 36, 9)) < 1e-12
+    assert out[0]["dl"] == 2
+
+
+def test_unigram_familiarity_skips_empty_docs(spark):
+    rows = [(1, "a a"), (2, "   "), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = unigram_familiarity(df, "text", "doc_id", bottom_k=10).collect()
+    assert [r["doc_id"] for r in out] == [1]
