@@ -286,3 +286,87 @@ def interarrival_stats(
         "max_gap_us",
         F.round(avg_gap_s, 6).alias("avg_gap_s"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: for each prefix of ``steps``, how many
+    keys performed those event types IN ORDER (each step's event at-or-after
+    the previous step's first qualifying event) — the product-analytics
+    staple over behavioural event streams.
+
+    A correct funnel is sequential by definition (a click BEFORE the first
+    view must not count), so the plan is one pass per step: filter to the
+    step's type (predicate pushes to the scan — at scale the event table is
+    type/date-partitioned and the scan prunes), join the previous step's
+    per-key anchor timestamp, keep events at-or-after it, take min(ts) per
+    key. Each pass is one key-shuffled aggregate over a single type's rows;
+    the per-key anchor frames reuse the same key partitioning. Step counts
+    are collected as k one-row aggregates crossJoined into ONE result row —
+    k is the funnel length (constant), never data-sized.
+
+    Returns one row: n_step1, n_step1_step2, ... (column per prefix, named
+    n_<step1>[_<step2>...]).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    counts = []
+    prev: DataFrame | None = None
+    prefix_name = "n"
+    for step in steps:
+        stage = df.filter(F.col(type_col) == step).select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts")
+        )
+        if prev is not None:
+            stage = stage.join(prev, "_k").filter(
+                F.col("_ts") >= F.col("_anchor")
+            )
+        cur = stage.groupBy("_k").agg(F.min("_ts").alias("_anchor"))
+        prefix_name += f"_{step}"
+        counts.append(cur.agg(F.count("*").alias(prefix_name)))
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: keys grouped by first-activity period
+    (cohort) x activity-period offset, counting distinct active keys —
+    the growth-analytics rollup behind retention curves.
+
+    Cohort identity and offsets both derive from INTEGER day arithmetic
+    (datediff DIV period) — no engine-specific week-truncation semantics
+    anywhere near the hash. Plan: one key-shuffled min-aggregate for first
+    days, the (tiny, key-cardinality) first-day frame joins back on the
+    SAME key partitioning, then one distinct + one count aggregate on
+    (cohort, offset). The raw event table shuffles on its key once.
+    """
+    first = df.groupBy(key_col).agg(
+        F.min(F.col(ts_col).cast("date")).alias("_first_day")
+    )
+    per = int(period_days)
+    joined = df.select(key_col, F.col(ts_col).cast("date").alias("_day")).join(
+        first, key_col
+    )
+    active = joined.select(
+        key_col,
+        F.col("_first_day").alias("cohort_day"),
+        F.expr(f"CAST(datediff(_day, _first_day) DIV {per} AS INT)").alias(
+            "period_offset"
+        ),
+    ).distinct()
+    return active.groupBy("cohort_day", "period_offset").agg(
+        F.count("*").alias("n_active")
+    )

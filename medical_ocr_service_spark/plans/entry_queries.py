@@ -2914,6 +2914,88 @@ def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "daily_new_users",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+               FROM events GROUP BY user_id)
+    SELECT day, COUNT(*) AS n_new_users,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM f GROUP BY day
+    """,
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning census: per-user first-seen day (one key-shuffled
+    min-aggregate), daily new-user counts, and the running total. The
+    cumulative window runs over the DAILY rollup (days-cardinality rows,
+    never the event table), same shape as moving_avg_daily_revenue."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("day"))
+    daily = f.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 CAST((CAST(e.ts AS DATE) - f.cohort_day) // 7 AS INT)
+                   AS period_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_day, period_offset, COUNT(*) AS n_active
+    FROM a GROUP BY cohort_day, period_offset
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/temporal.cohort_retention):
+    first-activity cohort x weekly activity offset x distinct active users.
+    Offsets are INTEGER day arithmetic (datediff DIV 7) — no engine week-
+    truncation semantics near the hash; the event table shuffles on its
+    key once."""
+    from ..operators.temporal import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), "user_id", "ts", period_days=7
+    )
+
+
+@query(
+    "conversion_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= v.t0 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t1 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel (operators/temporal.funnel):
+    each step keeps only events at-or-after the previous step's first
+    qualifying event, so out-of-order clicks never count. One type-filtered
+    (scan-prunable) key-shuffled aggregate per step; the result is ONE row
+    of prefix counts."""
+    from ..operators.temporal import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        key_col="user_id", type_col="event_type", ts_col="ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------

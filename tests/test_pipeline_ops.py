@@ -125,3 +125,57 @@ def test_unigram_familiarity_skips_empty_docs(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = unigram_familiarity(df, "text", "doc_id", bottom_k=10).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_funnel_out_of_order_click_does_not_count(spark):
+    from medical_ocr_service_spark.operators.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "view", t0), (1, "click", t0 + s), (1, "purchase", t0 + 2 * s),
+        # user 2: click BEFORE first view -> stops at view
+        (2, "click", t0), (2, "view", t0 + s),
+        # user 3: view -> click, purchase BEFORE the click -> stops at click
+        (3, "purchase", t0), (3, "view", t0 + s), (3, "click", t0 + 2 * s),
+        # user 4: purchase only -> not even step 1
+        (4, "purchase", t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = funnel(df, ["view", "click", "purchase"], "user_id",
+                 "event_type", "ts").collect()[0]
+    assert out["n_view"] == 3          # users 1, 2, 3
+    assert out["n_view_click"] == 2    # users 1, 3
+    assert out["n_view_click_purchase"] == 1  # user 1 only
+
+
+def test_funnel_equal_timestamps_inclusive(spark):
+    from medical_ocr_service_spark.operators.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "view", t0), (1, "click", t0)], ["user_id", "event_type", "ts"]
+    )
+    out = funnel(df, ["view", "click"], "user_id", "event_type", "ts").collect()[0]
+    assert (out["n_view"], out["n_view_click"]) == (1, 1)
+
+
+def test_cohort_retention_offsets(spark):
+    from medical_ocr_service_spark.operators.temporal import cohort_retention
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 3)),   # same week -> offset 0 once
+        (1, d(2024, 1, 9)),                        # day 8 -> offset 1
+        (2, d(2024, 1, 2)), (2, d(2024, 1, 16)),   # day 14 -> offset 2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (str(r["cohort_day"]), r["period_offset"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts", 7).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
+    }
