@@ -235,3 +235,128 @@ def exact_ntile(
         )
         .drop("_before", "_n_total", "_rank")
     )
+
+
+def weighted_downsample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    rate_num: int = 1,
+    rate_den: int = 1,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli downsample: keep each row with
+    probability (rate_num/rate_den) * weight/max_weight — the importance-
+    weighted corpus thinning step (keep long/high-quality docs more often)
+    with NO RNG state: the same row survives on every run, every cluster
+    size, and in the SQL oracle.
+
+    Gate: u32(md5(key)) < (weight * rate_num * 2^32) DIV (max_weight *
+    rate_den) — pure BIGINT arithmetic (weight * 2^32 needs weight <
+    2^31; larger weights should be pre-scaled). The 1-row max broadcast-
+    crossJoins; the fact table never shuffles — the plan is scan +
+    broadcast + filter, same shape as stratified_downsample.
+    """
+    mx = df.agg(F.max(F.col(weight_col)).cast("long").alias("_maxw"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thr = F.expr(
+        f"({weight_col} * CAST({int(rate_num)} AS BIGINT) * 4294967296)"
+        f" DIV (_maxw * CAST({int(rate_den)} AS BIGINT))"
+    )
+    return df.crossJoin(F.broadcast(mx)).filter(u32 < thr).drop("_maxw")
+
+
+def stratum_fixed_k_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    slack: int = 8,
+) -> DataFrame:
+    """EXACTLY min(k, stratum size) rows per stratum, chosen by md5(key)
+    order — the deterministic fixed-size per-class sample (eval-set carving,
+    per-source spot checks).
+
+    A bare row_number() OVER (PARTITION BY stratum ORDER BY hash) funnels
+    every stratum through ONE reducer. This plan bounds that: a broadcast
+    census sets a per-stratum hash threshold of ~k*slack expected survivors
+    (integer gate, same shape as stratified_downsample), the window then
+    ranks only the surviving ~k*slack rows per stratum. With slack=8 the
+    probability that fewer than k of a large stratum's rows pass the gate
+    is astronomically small (Chernoff: exp(-k*slack/8) per stratum at the
+    expectation's half-point); small strata (< k*slack rows) pass the gate
+    entirely, so min(k, size) is exact there by construction. The gate and
+    the rank use the SAME md5 order, so survivors' top-k equals the full
+    stratum's top-k whenever >= k rows pass — determinism is unconditional,
+    and the oracle replays both stages verbatim.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_cnt"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    budget = int(k) * int(slack)
+    thr = F.expr(
+        f"CASE WHEN _cnt <= {budget} THEN 4294967296 "
+        f"ELSE (CAST({budget} AS BIGINT) * 4294967296) DIV _cnt END"
+    )
+    survivors = (
+        df.join(F.broadcast(counts), stratum_col)
+        .withColumn("_u32", u32)
+        .filter(F.col("_u32") < thr)
+    )
+    w = Window.partitionBy(stratum_col).orderBy("_u32", key_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_cnt", "_u32", "_rn")
+    )
+
+
+def exact_grouped_median(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-group median (SQL quantile_cont(0.5) semantics) WITHOUT
+    sorting the corpus: the same histogram order-statistics trick as
+    exact_ntile.
+
+    groupBy(group, value) count is histogram-sized; a per-group cumulative
+    sum over DISTINCT values locates the row(s) covering the two middle
+    ranks lo = (N+1) DIV 2 and hi = N DIV 2 + 1 (equal when N is odd);
+    median = (v_lo + v_hi) / 2 — exact IEEE for integer values < 2^53
+    (dividing by 2 is a power-of-two scale), matching the interpolated
+    midpoint every engine's median() computes. The fact table shuffles
+    once, on (group, value); windows run over the histogram only.
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        group_col,
+        value_col,
+        "_c",
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_before"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    lo = F.expr("(_n + 1) DIV 2")
+    hi = F.expr("_n DIV 2 + 1")
+    covers = lambda r: (F.col("_before") < r) & (  # noqa: E731
+        (F.col("_before") + F.col("_c")) >= r
+    )
+    return (
+        cum.withColumn("_vlo", F.when(covers(lo), F.col(value_col)))
+        .withColumn("_vhi", F.when(covers(hi), F.col(value_col)))
+        .groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_rows"),
+            (
+                (F.max("_vlo") + F.max("_vhi")) / F.lit(2.0)
+            ).alias("median_value"),
+        )
+    )

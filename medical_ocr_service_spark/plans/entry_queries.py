@@ -2996,6 +2996,86 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_length_sample",
+    """
+    WITH m AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS maxw FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM documents, m
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < (n_chars * CAST(1 AS BIGINT) * 4294967296)
+            // (maxw * CAST(2 AS BIGINT))
+    """,
+)
+def weighted_length_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: importance-weighted deterministic downsample
+    (operators/datasets.weighted_downsample) — keep probability
+    0.5 * n_chars/max(n_chars), pure BIGINT md5 gate, no RNG; the 1-row max
+    broadcasts and the fact table never shuffles."""
+    from ..operators.datasets import weighted_downsample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_downsample(
+        d, "n_chars", "doc_id", rate_num=1, rate_den=2
+    )
+
+
+@query(
+    "stratum_sample_fixed_k",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    s AS (
+      SELECT d.doc_id, d.lang,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS u32,
+             c.cnt
+      FROM documents d JOIN counts c USING (lang)),
+    surv AS (
+      SELECT doc_id, lang, u32 FROM s
+      WHERE u32 < CASE WHEN cnt <= 80 THEN 4294967296
+                       ELSE (CAST(80 AS BIGINT) * 4294967296) // cnt END),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY u32, doc_id) AS rn
+          FROM surv)
+    SELECT doc_id, lang FROM r WHERE rn <= 10
+    """,
+)
+def stratum_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: EXACTLY min(k, size) rows per stratum by md5 order
+    (operators/datasets.stratum_fixed_k_sample) — a broadcast census gate
+    keeps ~k*slack candidates per stratum so the ranking window never sees
+    a stratum-sized partition; gate and rank share one hash order, so the
+    result equals the unbounded window's whenever >= k rows pass."""
+    from ..operators.datasets import stratum_fixed_k_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratum_fixed_k_sample(d, "lang", "doc_id", k=10, slack=8)
+
+
+@query(
+    "median_chars_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n_rows,
+           ROUND(median(n_chars), 4) AS median_value
+    FROM documents GROUP BY lang
+    """,
+)
+def median_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median WITHOUT sorting the corpus
+    (operators/datasets.exact_grouped_median): histogram order-statistics —
+    one (group, value) shuffle, windows over DISTINCT values only, median
+    = midpoint of the two middle ranks in exact integer-in-double math.
+    The oracle is the engine's own median()/quantile_cont(0.5)."""
+    from ..operators.datasets import exact_grouped_median
+
+    d = _t(spark, sf_dir, "documents")
+    m = exact_grouped_median(d, "lang", "n_chars")
+    return m.select(
+        "lang", "n_rows", F.round("median_value", 4).alias("median_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------

@@ -179,3 +179,75 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
     }
+
+
+def test_exact_grouped_median_matches_percentile(spark):
+    from medical_ocr_service_spark.operators.datasets import (
+        exact_grouped_median,
+    )
+
+    rows = [("a", v) for v in [1, 3, 3, 7, 10]] + [  # odd -> 3
+        ("b", v) for v in [2, 4, 6, 100]             # even -> 5.0
+    ] + [("c", 42)]                                   # singleton -> 42
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["median_value"])
+        for r in exact_grouped_median(df, "g", "v").collect()
+    }
+    assert got == {"a": (5, 3.0), "b": (4, 5.0), "c": (1, 42.0)}
+    ref = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert {g: m for g, (_, m) in got.items()} == ref
+
+
+def test_stratum_fixed_k_small_stratum_and_exactness(spark, sf_dir):
+    from medical_ocr_service_spark.operators.datasets import (
+        stratum_fixed_k_sample,
+    )
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = stratum_fixed_k_sample(d, "lang", "doc_id", k=10, slack=8)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(10, full[lang])
+    # equals the unbounded single-reducer window's answer (same hash order)
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(u32, "doc_id")
+    ref = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("doc_id", "lang")
+    )
+    assert {tuple(r) for r in out.select("doc_id", "lang").collect()} == {
+        tuple(r) for r in ref.select("doc_id", "lang").collect()
+    }
+
+
+def test_weighted_downsample_zero_weight_never_kept(spark):
+    from medical_ocr_service_spark.operators.datasets import (
+        weighted_downsample,
+    )
+
+    rows = [(i, 0 if i % 2 else 100) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_downsample(df, "w", "doc_id", rate_num=1, rate_den=1)
+    kept = out.collect()
+    assert all(r["w"] == 100 for r in kept)
+    # max-weight rows gate at rate_num/rate_den = 1 -> ALL of them survive
+    assert len(kept) == 100
