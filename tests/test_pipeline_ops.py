@@ -251,3 +251,70 @@ def test_weighted_downsample_zero_weight_never_kept(spark):
     assert all(r["w"] == 100 for r in kept)
     # max-weight rows gate at rate_num/rate_den = 1 -> ALL of them survive
     assert len(kept) == 100
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+    ),
+    b=st.integers(min_value=1, max_value=11),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_ntile_fuzz_vs_window_ntile(spark, vals, b):
+    from medical_ocr_service_spark.operators.datasets import exact_ntile
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(list(enumerate(vals)), ["id", "v"])
+    expected = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", F.ntile(b).over(Window.orderBy("v", "id")).alias("b")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile(df, "v", "id", n_buckets=b).collect()
+    }
+    assert got == expected
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_grouped_median_fuzz_vs_percentile(spark, groups):
+    from medical_ocr_service_spark.operators.datasets import (
+        exact_grouped_median,
+    )
+
+    df = spark.createDataFrame(groups, ["g", "v"])
+    got = {
+        r["g"]: r["median_value"]
+        for r in exact_grouped_median(df, "g", "v").collect()
+    }
+    ref = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got == ref
