@@ -3165,6 +3165,16 @@ _DRIVER_WINDOW: list[str] = [
     "semantic_dedup_survivors",
     "length_deciles",
 ]
+# ROUND-5 WINDOW PLAN (mechanical swap next round): set _DRIVER_WINDOW to
+# the 48 queries currently past the cutoff (6 of them never driver-verified:
+# daily_new_users, cohort_retention, conversion_funnel,
+# weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang;
+# the other 42 all r1-r3-green and unchanged) + 2 repeats
+# (extraction_golden_equality, previsacion_golden_equality — they gate the
+# rows-only e2e content). Union(r4 window, r5 window) then covers ALL
+# registered queries, so at final judgment every query has a driver row
+# within the last two rounds. If round 5 changes any query's lineage, that
+# query must ALSO sit in the r5 window (displace an unchanged r4-green one).
 
 
 def _apply_driver_window() -> None:
