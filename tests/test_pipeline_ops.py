@@ -318,3 +318,58 @@ def test_exact_grouped_median_fuzz_vs_percentile(spark, groups):
         .collect()
     }
     assert got == ref
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """North-rule skew evidence: AQE's skew-join split actually fires on a
+    pathological hot key (one key holding ~99% of rows), complementing the
+    explicit salting operator. Thresholds are lowered only inside this test
+    and restored after."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # the payload must be DATA-DEPENDENT: a literal pad gets projected
+        # out of the exchange (re-attached post-join) and 60k identical
+        # longs lz4-compress below any realistic skew threshold.
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 1000 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit(1).alias("r")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's queryExecution (count() would plan a
+        # separate aggregate query whose adaptive plan never finalizes here)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
