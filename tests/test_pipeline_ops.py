@@ -373,3 +373,26 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_driver_window_registry_invariants():
+    """Pure-Python contract guard for the driver's 50-query cutoff: the
+    window list is exactly 50, names only registered queries, and the
+    registry's first 50 keys ARE the window (the driver executes first-50
+    in insertion order — a misordered registration silently unverifies a
+    query)."""
+    import __spark_entry__ as entry_mod
+    from medical_ocr_service_spark.plans.entry_queries import _DRIVER_WINDOW
+
+    q = list(entry_mod.queries())
+    oracles = entry_mod.oracle_sql()
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert q[:50] == _DRIVER_WINDOW
+    unknown = [n for n in _DRIVER_WINDOW if n not in q]
+    assert not unknown
+    # every registered query is oracle-backed except the two rows-only e2e
+    assert sorted(set(q) - set(oracles)) == [
+        "extraction_e2e_details",
+        "extraction_e2e_headers",
+    ]
