@@ -322,3 +322,80 @@ def bm25_topk_terms(
             F.round("score", 6).alias("bm25_odds"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into ~chunk_tokens-token windows with ``overlap``
+    tokens of context carry-over — the sequence-chunking step every
+    LLM training / RAG-indexing pipeline runs before tokenization.
+
+    Chunk g starts at token g*stride (stride = chunk_tokens - overlap) and
+    takes chunk_tokens tokens; starts are emitted while start < len, so the
+    final chunk is short rather than empty and a doc shorter than one chunk
+    yields exactly one chunk. Whitespace tokenization preserves the
+    ORIGINAL text (no lowercasing — chunks are payload, not features).
+
+    Plan: pure higher-order projections (split -> sequence -> posexplode of
+    per-chunk slices) — narrow, zero shuffles, whole-stage codegen; output
+    rows are (id, chunk_id, n_tokens, chunk_text). At 100 TB this is the
+    map side of whatever writer follows; nothing here exchanges.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \t\n\r]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n_chunks = F.ceil(F.size("_tk") / F.lit(float(stride))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.slice(F.col("_tk"), g * stride + 1, chunk_tokens),
+    )
+    ex = base.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "_chunk")
+    )
+    return ex.select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus top-k word n-grams — the collocation/LM-count sibling of
+    token_topk (n=1 degenerates to it). Adjacent-token windows come from a
+    narrow higher-order projection (sequence + slice + array_join), then
+    the same two-level aggregate: the shuffle carries one row per DISTINCT
+    n-gram per map partition (map-side combine), the top-k is a
+    TakeOrdered. Ties break by gram ascending."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\r]+"), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_tk") - n),
+        lambda i: F.array_join(F.slice(F.col("_tk"), i + 1, n), " "),
+    )
+    ex = (
+        df.select(toks.alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(F.explode(grams).alias("gram"))
+    )
+    counted = ex.groupBy("gram").agg(F.count("*").alias("n_occurrences"))
+    return counted.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(k)

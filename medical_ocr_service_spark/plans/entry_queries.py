@@ -3139,6 +3139,69 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_chunks_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+               g -> struct_pack(
+                 cid := g,
+                 nt := len(tk[g*20+1 : g*20+30]),
+                 txt := array_to_string(tk[g*20+1 : g*20+30], ' ')))) AS u
+      FROM toks WHERE len(tk) > 0)
+    SELECT doc_id, CAST(u.cid AS INT) AS chunk_id,
+           CAST(u.nt AS INT) AS n_tokens, u.txt AS chunk_text
+    FROM ch
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: overlapping sequence chunking
+    (operators/text_analysis.chunk_documents, 30-token chunks / 10-token
+    overlap -> stride 20) — pure higher-order projections, zero shuffles;
+    the original (case-preserving) text rides into the chunks."""
+    from ..operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=30, overlap=10,
+    )
+
+
+@query(
+    "bigram_topk",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(
+               range(0, len(tk) - 1),
+               i -> array_to_string(tk[i+1 : i+2], ' '))) AS gram
+      FROM toks WHERE len(tk) >= 2)
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 40
+    """,
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-40 word bigrams (operators/text_analysis.ngram_topk) —
+    the collocation/LM-count sibling of token_topk: adjacent-token windows
+    from a narrow higher-order projection, vocabulary-sized shuffle
+    (map-side combine), TakeOrdered top-k."""
+    from ..operators.text_analysis import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), "text", n=2, k=40)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -3229,16 +3292,18 @@ _DRIVER_WINDOW: list[str] = [
     "length_deciles",
 ]
 # ROUND-5 WINDOW PLAN (mechanical swap next round): set _DRIVER_WINDOW to
-# the 50 queries currently past the cutoff (8 of them never driver-verified:
+# the queries currently past the cutoff (10 of them never driver-verified:
 # daily_new_users, cohort_retention, conversion_funnel,
 # weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang,
-# cube_order_stats, pivot_user_event_matrix;
-# the other 42 all r1-r3-green and unchanged). That fills the window
-# exactly, and union(r4 window, r5 window) covers ALL 100 registered
-# queries — at final judgment every query has a driver row within the last
-# two rounds. Do NOT register new queries in round 5 unless they displace
-# an r4-green unchanged entry; if round 5 changes any query's lineage, that
-# query must ALSO sit in the r5 window (same displacement rule).
+# cube_order_stats, pivot_user_event_matrix, doc_chunks_overlap,
+# bigram_topk; the rest r1-r3-green and unchanged). 52 candidates for 50
+# slots: q1_pricing_summary and a1_customer_rollup (each driver-green in
+# r1+r2+r3, unchanged since) yield their slots — the only two queries whose
+# final driver evidence will be r3 rather than r4/r5; every other
+# registered query gets a driver row in r4 or r5. Do NOT register new
+# queries in round 5 unless they displace an r4-green unchanged entry; if
+# round 5 changes any query's lineage, that query must ALSO sit in the r5
+# window (same displacement rule).
 
 
 def _apply_driver_window() -> None:

@@ -396,3 +396,41 @@ def test_driver_window_registry_invariants():
         "extraction_e2e_details",
         "extraction_e2e_headers",
     ]
+
+
+def test_chunk_documents_overlap_math(spark):
+    from medical_ocr_service_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+    import pytest as _pytest
+
+    text = " ".join(f"w{i}" for i in range(25))  # 25 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=10, overlap=4)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # stride 6, 25 tokens -> ceil(25/6) = 5 chunks starting 0,6,12,18,24
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3, 4]
+    assert rows[(1, 0)]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert rows[(1, 1)]["chunk_text"].split() == [
+        f"w{i}" for i in range(6, 16)
+    ]  # 4-token overlap with chunk 0
+    assert rows[(1, 4)]["n_tokens"] == 1  # final short chunk: token 24 only
+    # short doc -> exactly one chunk; empty doc -> none
+    assert sorted(c for d, c in rows if d == 2) == [0]
+    assert rows[(2, 0)]["chunk_text"] == "a b"
+    assert not [1 for d, _ in rows if d == 3]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=5, overlap=5)
+
+
+def test_ngram_topk_trigrams(spark):
+    from medical_ocr_service_spark.operators.text_analysis import ngram_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {(r["gram"], r["n_occurrences"])
+           for r in ngram_topk(df, "text", n=3, k=10).collect()}
+    # doc1 trigrams: "a b c","b c a","c a b","a b c"; docs 2-3 too short
+    assert out == {("a b c", 2), ("b c a", 1), ("c a b", 1)}
