@@ -360,3 +360,68 @@ def exact_grouped_median(
             ).alias("median_value"),
         )
     )
+
+
+def exact_grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group continuous quantiles (SQL quantile_cont semantics)
+    via the same histogram order-statistics plan as exact_grouped_median —
+    the fact table shuffles once on (group, value), every window runs over
+    DISTINCT values only, no corpus-wide sort.
+
+    For each q: h = (N-1)*q, lower rank = floor(h)+1, and
+    value = v_lo + (v_hi - v_lo) * (h - floor(h)). With integer values and
+    q a dyadic rational (0.25/0.5/0.75), the interpolation is EXACTLY
+    representable — any algebraically-equivalent formula an engine uses
+    yields the identical double, so the result is hash-stable without
+    rounding tricks. Output: group, n_rows, q25/q50/q75-style columns
+    (named q<percent>).
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        group_col,
+        value_col,
+        "_c",
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_before"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+
+    def covers(rank):
+        return (F.col("_before") < rank) & (
+            (F.col("_before") + F.col("_c")) >= rank
+        )
+
+    aggs = [F.max("_n").alias("n_rows")]
+    probed = cum
+    for q in qs:
+        tag = f"q{int(round(q * 100))}"
+        h = (F.col("_n") - 1) * F.lit(float(q))
+        lo_rank = F.floor(h) + 1
+        # when h is integral the upper probe equals the lower (frac = 0
+        # zeroes the interpolation term and rank stays in range)
+        hi_rank = F.least(F.floor(h) + 2, F.col("_n"))
+        probed = probed.withColumn(
+            f"_{tag}_lo", F.when(covers(lo_rank), F.col(value_col))
+        ).withColumn(
+            f"_{tag}_hi", F.when(covers(hi_rank), F.col(value_col))
+        ).withColumn(f"_{tag}_frac", h - F.floor(h))
+        aggs.append(
+            (
+                F.max(f"_{tag}_lo")
+                + (F.max(f"_{tag}_hi") - F.max(f"_{tag}_lo"))
+                * F.max(f"_{tag}_frac")
+            ).alias(tag)
+        )
+    return probed.groupBy(group_col).agg(*aggs)

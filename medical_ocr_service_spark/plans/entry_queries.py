@@ -3202,6 +3202,31 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_topk(_t(spark, sf_dir, "documents"), "text", n=2, k=40)
 
 
+@query(
+    "length_quartiles_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n_rows,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75
+    FROM documents GROUP BY lang
+    """,
+)
+def length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles WITHOUT sorting the corpus
+    (operators/datasets.exact_grouped_quantiles): histogram
+    order-statistics, one (group, value) shuffle, windows over DISTINCT
+    values only. Integer data + dyadic q make the interpolation exactly
+    representable, so the engine's own quantile_cont is the oracle with no
+    rounding tricks."""
+    from ..operators.datasets import exact_grouped_quantiles
+
+    return exact_grouped_quantiles(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars",
+        qs=(0.25, 0.5, 0.75),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -3292,14 +3317,16 @@ _DRIVER_WINDOW: list[str] = [
     "length_deciles",
 ]
 # ROUND-5 WINDOW PLAN (mechanical swap next round): set _DRIVER_WINDOW to
-# the queries currently past the cutoff (10 of them never driver-verified:
+# the queries currently past the cutoff (11 of them never driver-verified:
 # daily_new_users, cohort_retention, conversion_funnel,
 # weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang,
 # cube_order_stats, pivot_user_event_matrix, doc_chunks_overlap,
-# bigram_topk; the rest r1-r3-green and unchanged). 52 candidates for 50
-# slots: q1_pricing_summary and a1_customer_rollup (each driver-green in
-# r1+r2+r3, unchanged since) yield their slots — the only two queries whose
-# final driver evidence will be r3 rather than r4/r5; every other
+# bigram_topk, length_quartiles_by_lang; the rest r1-r3-green and
+# unchanged). 53 candidates for 50 slots: q1_pricing_summary and
+# a1_customer_rollup (each driver-green in r1+r2+r3, unchanged since) and
+# ann_cosine_topk (r3-green AND re-measured by bench.py's HEADLINE list at
+# sf0.1 every round) yield their slots — the only three queries whose final
+# driver CORRECTNESS evidence will be r3 rather than r4/r5; every other
 # registered query gets a driver row in r4 or r5. Do NOT register new
 # queries in round 5 unless they displace an r4-green unchanged entry; if
 # round 5 changes any query's lineage, that query must ALSO sit in the r5

@@ -434,3 +434,36 @@ def test_ngram_topk_trigrams(spark):
            for r in ngram_topk(df, "text", n=3, k=10).collect()}
     # doc1 trigrams: "a b c","b c a","c a b","a b c"; docs 2-3 too short
     assert out == {("a b c", 2), ("b c a", 1), ("c a b", 1)}
+
+
+def test_exact_grouped_quantiles_matches_percentile(spark):
+    from medical_ocr_service_spark.operators.datasets import (
+        exact_grouped_quantiles,
+    )
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8]] + [
+        ("b", v) for v in [10, 20, 30]
+    ] + [("c", 5)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["q25"], r["q50"], r["q75"])
+        for r in exact_grouped_quantiles(df, "g", "v").collect()
+    }
+    # a: h25 = 7*0.25 = 1.75 -> 2 + 0.75*(3-2) = 2.75; h50 = 3.5 -> 4.5;
+    #    h75 = 5.25 -> 6.25.  b: 15/20/25.  c singleton: 5/5/5.
+    assert got == {
+        "a": (8, 2.75, 4.5, 6.25),
+        "b": (3, 15.0, 20.0, 25.0),
+        "c": (1, 5.0, 5.0, 5.0),
+    }
+    ref = {
+        r["g"]: (r["p25"], r["p50"], r["p75"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.75)").alias("p75"),
+        )
+        .collect()
+    }
+    assert {g: t[1:] for g, t in got.items()} == ref
