@@ -255,6 +255,10 @@ def weighted_downsample(
     2^31; larger weights should be pre-scaled). The 1-row max broadcast-
     crossJoins; the fact table never shuffles — the plan is scan +
     broadcast + filter, same shape as stratified_downsample.
+
+    Degenerate inputs degenerate safely: zero/negative weights gate at
+    probability 0, and an all-zero (or empty) corpus yields a NULL divisor
+    whose comparison is never true — the output is empty, not an error.
     """
     mx = df.agg(F.max(F.col(weight_col)).cast("long").alias("_maxw"))
     u32 = F.conv(
