@@ -1002,8 +1002,14 @@ def main() -> None:
     remaining = BUDGET_S - (time.monotonic() - _T0)
     if DIM1536_DOCS > 0 and remaining > 150:
         try:
+            # 2 reps only when the budget can afford BOTH the second rep
+            # (~65 s) AND a small-corpus pair 2 afterwards (~150-250 s):
+            # runs 5-7 all ended one pair short with ~275 s remaining, and
+            # a second raw-ratio sample is worth more than a second
+            # dim-1536 rep (the width-independence result is established;
+            # the raw best-ratio estimator is max-over-pairs).
             result["previsacion_dim1536"] = _run_dim1536(
-                tmp, reps=2 if remaining > 330 else 1
+                tmp, reps=2 if remaining > 500 else 1
             )
         except Exception as exc:
             result["previsacion_dim1536"] = {"error": repr(exc)}
@@ -1020,7 +1026,16 @@ def main() -> None:
         remaining = BUDGET_S - (time.monotonic() - _T0)
         if sdocs == docs_path and SCALE_DOCS < N_DOCS and remaining <= 520:
             sdocs, smedia = _scale_corpus_parquet(tmp)
-        if remaining <= 280:
+        # Admission floor by pair cost: measured small-corpus no-isoload
+        # pair = ~105 s legs (rehearsal3: 37.9x2 N + 12.6-19.3 4N) + warmup
+        # + corpus write, ~150-250 s total incl. slow-state margin; the
+        # full-corpus pair is ~2x that. 280 s was calibrated for the
+        # full-corpus pair and silently priced the small pair out too —
+        # runs 5-7 each ended with exactly one raw sample and ~275 s
+        # unspent. The budget is soft (stop ADDING work, not a hard kill),
+        # so a slow-state small pair overshooting by ~30 s is acceptable.
+        floor = 280.0 if sdocs == docs_path else 210.0
+        if remaining <= floor:
             break
         try:
             pairs.append(_run_one_pair(sdocs, smedia, with_isoload=False))
