@@ -195,6 +195,13 @@ def exact_ntile(
     for natural length/score distributions.
 
     Returns df + ``bucket`` (int). Deterministic: ties order by id.
+
+    NULL values: rows with a NULL ``value_col`` get a bucket too, exactly
+    as ``ntile(B) OVER (ORDER BY v)`` assigns them — Spark's default ASC
+    ordering puts NULLS FIRST, so they land in the lowest bucket(s). The
+    histogram join is null-safe for this reason (a plain equi-join would
+    COUNT the null rows in the offsets yet drop them from the output,
+    shifting every other row's rank by the null count).
     """
     hist = df.groupBy(value_col).agg(F.count("*").alias("_c"))
     w_cum = Window.orderBy(value_col).rowsBetween(
@@ -214,8 +221,13 @@ def exact_ntile(
         F.sum("_c").over(w_all).alias("_n_total"),
     )
     w_ties = Window.partitionBy(value_col).orderBy(id_col)
+    offsets = offsets.withColumnRenamed(value_col, "_ntile_v")
     return (
-        df.join(F.broadcast(offsets), value_col)
+        df.join(
+            F.broadcast(offsets),
+            F.col(value_col).eqNullSafe(F.col("_ntile_v")),
+        )
+        .drop("_ntile_v")
         .withColumn(
             "_rank", F.col("_before") + F.row_number().over(w_ties)
         )
@@ -250,25 +262,43 @@ def weighted_downsample(
     with NO RNG state: the same row survives on every run, every cluster
     size, and in the SQL oracle.
 
-    Gate: u32(md5(key)) < (weight * rate_num * 2^32) DIV (max_weight *
-    rate_den) — pure BIGINT arithmetic (weight * 2^32 needs weight <
-    2^31; larger weights should be pre-scaled). The 1-row max broadcast-
-    crossJoins; the fact table never shuffles — the plan is scan +
-    broadcast + filter, same shape as stratified_downsample.
+    Gate: u32(md5(key)) < (w * rate_num * 2^32) DIV (max_w * rate_den) —
+    pure BIGINT arithmetic (w * 2^32 needs w < 2^31; larger weights should
+    be pre-scaled). Integral weight columns are used as-is; fractional
+    columns (double/float/decimal quality scores) are fixed-point scaled
+    first — w = ROUND(weight * 2^20) — so the keep probability w/max_w is
+    preserved to ~1e-6 while the gate stays exact integer arithmetic (no
+    cross-engine FP boundary ties; a bare cast('long') would truncate a
+    [0,1] score column's max to 0 and keep nothing). The 1-row max
+    broadcast-crossJoins; the fact table never shuffles — the plan is
+    scan + broadcast + filter, same shape as stratified_downsample.
 
     Degenerate inputs degenerate safely: zero/negative weights gate at
     probability 0, and an all-zero (or empty) corpus yields a NULL divisor
     whose comparison is never true — the output is empty, not an error.
     """
-    mx = df.agg(F.max(F.col(weight_col)).cast("long").alias("_maxw"))
+    wtype = dict(df.dtypes)[weight_col]
+    if wtype in ("double", "float") or wtype.startswith("decimal"):
+        w_long = F.expr(f"CAST(ROUND({weight_col} * 1048576) AS BIGINT)")
+    else:
+        w_long = F.col(weight_col).cast("long")
+    mx = df.agg(F.max(w_long).alias("_maxw"))
     u32 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    thr = F.expr(
-        f"({weight_col} * CAST({int(rate_num)} AS BIGINT) * 4294967296)"
-        f" DIV (_maxw * CAST({int(rate_den)} AS BIGINT))"
+    # integer floor-division via expr DIV (Column has no // for BIGINT DIV)
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("_wl", w_long)
+        .filter(
+            u32
+            < F.expr(
+                f"(_wl * CAST({int(rate_num)} AS BIGINT) * 4294967296)"
+                f" DIV (_maxw * CAST({int(rate_den)} AS BIGINT))"
+            )
+        )
+        .drop("_maxw", "_wl")
     )
-    return df.crossJoin(F.broadcast(mx)).filter(u32 < thr).drop("_maxw")
 
 
 def stratum_fixed_k_sample(
@@ -324,46 +354,15 @@ def exact_grouped_median(
     sorting the corpus: the same histogram order-statistics trick as
     exact_ntile.
 
-    groupBy(group, value) count is histogram-sized; a per-group cumulative
-    sum over DISTINCT values locates the row(s) covering the two middle
-    ranks lo = (N+1) DIV 2 and hi = N DIV 2 + 1 (equal when N is odd);
-    median = (v_lo + v_hi) / 2 — exact IEEE for integer values < 2^53
-    (dividing by 2 is a power-of-two scale), matching the interpolated
-    midpoint every engine's median() computes. The fact table shuffles
-    once, on (group, value); windows run over the histogram only.
+    Delegates to exact_grouped_quantiles(qs=(0.5,)): the q=0.5 formula
+    h = (N-1)/2, v_lo + (v_hi - v_lo)*frac reduces to the classic
+    (v_lo + v_hi)/2 midpoint — for integer values < 2^53 every
+    algebraically-equivalent form is the same exact double, matching
+    every engine's interpolated median(). NULL values are ignored
+    (SQL aggregate semantics) — see exact_grouped_quantiles.
     """
-    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
-    w_cum = (
-        Window.partitionBy(group_col)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy(group_col).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        group_col,
-        value_col,
-        "_c",
-        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_before"),
-        F.sum("_c").over(w_all).alias("_n"),
-    )
-    lo = F.expr("(_n + 1) DIV 2")
-    hi = F.expr("_n DIV 2 + 1")
-    covers = lambda r: (F.col("_before") < r) & (  # noqa: E731
-        (F.col("_before") + F.col("_c")) >= r
-    )
-    return (
-        cum.withColumn("_vlo", F.when(covers(lo), F.col(value_col)))
-        .withColumn("_vhi", F.when(covers(hi), F.col(value_col)))
-        .groupBy(group_col)
-        .agg(
-            F.max("_n").alias("n_rows"),
-            (
-                (F.max("_vlo") + F.max("_vhi")) / F.lit(2.0)
-            ).alias("median_value"),
-        )
-    )
+    out = exact_grouped_quantiles(df, group_col, value_col, qs=(0.5,))
+    return out.withColumnRenamed("q50", "median_value")
 
 
 def exact_grouped_quantiles(
@@ -384,7 +383,18 @@ def exact_grouped_quantiles(
     yields the identical double, so the result is hash-stable without
     rounding tricks. Output: group, n_rows, q25/q50/q75-style columns
     (named q<percent>).
+
+    NULL values are IGNORED, exactly as SQL's median()/quantile_cont()
+    aggregate semantics require (without this filter a NULL row would be
+    counted in N and — ordering NULLS FIRST — shift every rank while
+    contributing a NULL probe that max() skips, silently returning a
+    neighboring value's quantile). n_rows is therefore the NON-NULL count.
+    One documented divergence: a group whose values are ALL NULL is
+    omitted from the output entirely, where SQL would emit the group with
+    a NULL median — keeping it would cost an extra full-corpus aggregate
+    for a row that carries no information.
     """
+    df = df.where(F.col(value_col).isNotNull())
     hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
     w_cum = (
         Window.partitionBy(group_col)

@@ -272,6 +272,7 @@ def quantized_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    passthrough: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """Top-k neighbours by INT8-quantized dot product — the memory-scale ANN
     variant: at 10^12 vectors the float corpus doesn't fit executor RAM, so
@@ -281,10 +282,15 @@ def quantized_ann_topk(
     score is a BIGINT, so the driver hash can never wobble on a ulp.
 
     Plan: quantize is a narrow projection; the single query row broadcasts;
-    the scan is one pass + TakeOrdered(k) — no shuffle of the corpus."""
+    the scan is one pass + TakeOrdered(k) — no shuffle of the corpus.
+
+    ``passthrough`` columns ride into the output when present (missing
+    ones are skipped, so the default ("label",) doesn't break frames
+    without that column)."""
+    keep = [c for c in passthrough if c in emb.columns]
     base = emb.select(
         F.col(id_col),
-        "label",
+        *keep,
         quantize_int8_col(F.col(vec_col)).alias("qv"),
     ).filter(F.col("qv").isNotNull())
     q = base.filter(F.col(id_col) == query_id).select(
@@ -298,7 +304,7 @@ def quantized_ann_topk(
     return (
         base.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .select(F.col(id_col), "label", qdot.alias("qdot"))
+        .select(F.col(id_col), *keep, qdot.alias("qdot"))
         .orderBy(F.desc("qdot"), id_col)
         .limit(k)
     )

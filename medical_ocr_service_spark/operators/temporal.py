@@ -156,8 +156,9 @@ def sessionize(
     A session breaks when the gap to the previous event of the same key
     EXCEEDS ``gap_minutes`` (an exactly-``gap_minutes`` gap stays in the
     session). Output: key, session_id (1..k per key), n_events,
-    session_start, session_end, duration_s (whole-second boundaries crossed,
-    matching ANSI ``date_diff('second', ...)``).
+    session_start, session_end, duration_us (MICROSECONDS between first and
+    last event — the data's native resolution, exact; divide by 1e6 or
+    date_diff on the start/end columns for coarser units).
     """
     order = [F.col(ts)] + ([F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak] if tiebreak is not None else [])
     w = Window.partitionBy(key).orderBy(*order)

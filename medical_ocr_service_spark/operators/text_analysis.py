@@ -237,8 +237,13 @@ def unigram_familiarity(
         tf.join(F.broadcast(vocab), "token")
         .groupBy("id")
         .agg(
+            # cast BEFORE multiplying: tf*cnt in BIGINT would wrap silently
+            # (non-ANSI) near 2^63 — the docstring's 10^13 head-count at
+            # 100 TB is only 2 orders below that — while the oracle SQL
+            # multiplies in DECIMAL and stays exact. Decimal-first keeps
+            # both engines exact at any scale.
             F.sum(
-                (F.col("tf") * F.col("cnt")).cast("decimal(38,0)")
+                F.col("tf").cast("decimal(38,0)") * F.col("cnt")
             ).alias("mass"),
             F.sum("tf").alias("dl"),
         )
@@ -336,9 +341,13 @@ def chunk_documents(
     LLM training / RAG-indexing pipeline runs before tokenization.
 
     Chunk g starts at token g*stride (stride = chunk_tokens - overlap) and
-    takes chunk_tokens tokens; starts are emitted while start < len, so the
-    final chunk is short rather than empty and a doc shorter than one chunk
-    yields exactly one chunk. Whitespace tokenization preserves the
+    takes chunk_tokens tokens; n_chunks = max(1, ceil((len - overlap) /
+    stride)), which covers every token (last start + chunk_tokens =
+    n*stride + overlap >= len) while never emitting a chunk FULLY CONTAINED
+    in its predecessor — a plain ceil(len/stride) adds a redundant trailing
+    chunk whenever 0 < len mod stride <= overlap, duplicating training
+    content. A doc shorter than one chunk yields exactly one chunk; the
+    final chunk may be short. Whitespace tokenization preserves the
     ORIGINAL text (no lowercasing — chunks are payload, not features).
 
     Plan: pure higher-order projections (split -> sequence -> posexplode of
@@ -355,7 +364,12 @@ def chunk_documents(
     base = df.select(F.col(id_col), toks.alias("_tk")).filter(
         F.size("_tk") > 0
     )
-    n_chunks = F.ceil(F.size("_tk") / F.lit(float(stride))).cast("int")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.size("_tk") - F.lit(overlap)) / F.lit(float(stride))
+        ).cast("int"),
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda g: F.slice(F.col("_tk"), g * stride + 1, chunk_tokens),

@@ -3150,7 +3150,7 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (
       SELECT doc_id,
              unnest(list_transform(
-               range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+               range(0, GREATEST(1, CAST(ceil((len(tk)-10)/20.0) AS BIGINT))),
                g -> struct_pack(
                  cid := g,
                  nt := len(tk[g*20+1 : g*20+30]),

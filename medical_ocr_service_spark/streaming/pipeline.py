@@ -16,6 +16,7 @@ src/utils/metrics.js:47-58).
 from __future__ import annotations
 
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,10 +147,24 @@ def stream_extraction_snapshot(
 
     # one metadata walk at stream start; the closure cell tracks it after
     watermark = {"batch_id": _max_committed()}
+    # The fresh-checkpoint refusal can only be decided for paths this
+    # process can stat: os.path.isdir is always False for hdfs://, s3a://
+    # etc., and refusing there would reject every legitimate restart with a
+    # remote checkpoint. Remote URIs skip the guard (the CONTRACT note
+    # still applies; Structured Streaming itself validates the checkpoint
+    # contents) — only local paths, where existence is decidable, enforce.
+    _scheme = urllib.parse.urlparse(checkpoint_path).scheme
+    _local = _scheme in ("", "file")
+    _ckpt_fs_path = (
+        urllib.parse.urlparse(checkpoint_path).path
+        if _scheme == "file"
+        else checkpoint_path
+    )
     if (
         watermark["batch_id"] is not None
         and not assume_replayed_source
-        and not os.path.isdir(checkpoint_path)
+        and _local
+        and not os.path.isdir(_ckpt_fs_path)
     ):
         raise ValueError(
             f"table already holds commits up to batch_id="

@@ -253,6 +253,89 @@ def test_weighted_downsample_zero_weight_never_kept(spark):
     assert len(kept) == 100
 
 
+def test_exact_ntile_nulls_match_window_ntile(spark):
+    """NULL values get buckets exactly as ntile() assigns them (Spark ASC
+    ordering = NULLS FIRST). Regression: a plain equi-join COUNTED the null
+    rows in the offsets but dropped them from the output, shifting every
+    non-null row's rank by the null count."""
+    from pyspark.sql import Window
+
+    rows = [(i, None if i % 7 == 0 else (i * 3) % 5) for i in range(23)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    expected = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("b")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile(df, "v", "id", n_buckets=4).collect()
+    }
+    assert got == expected  # includes the 4 NULL-valued ids
+
+
+def test_exact_grouped_median_and_quantiles_ignore_nulls(spark):
+    """SQL aggregate semantics: median()/quantile_cont() skip NULLs.
+    Regression: a NULL row used to be counted in N (shifting every rank,
+    NULLS FIRST) while its probe value vanished under max()."""
+    from medical_ocr_service_spark.operators.datasets import (
+        exact_grouped_median,
+        exact_grouped_quantiles,
+    )
+
+    rows = [("a", None), ("a", 1), ("a", 3), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    med = {
+        r["g"]: (r["n_rows"], r["median_value"])
+        for r in exact_grouped_median(df, "g", "v").collect()
+    }
+    # group a: median over [1, 3] = 2.0, n_rows = NON-NULL count;
+    # all-NULL group b is omitted (documented divergence from SQL's NULL row)
+    assert med == {"a": (2, 2.0)}
+    ref = df.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("m"))
+    assert {r["g"]: r["m"] for r in ref.collect()}["a"] == med["a"][1]
+    q = exact_grouped_quantiles(df, "g", "v", qs=(0.5,)).collect()
+    assert len(q) == 1 and q[0]["q50"] == 2.0 and q[0]["n_rows"] == 2
+
+
+def test_weighted_downsample_fractional_weights(spark):
+    """Double quality-score weights survive: the fixed-point scaling path
+    (w = ROUND(weight * 2^20)) keeps p = w/max exact to ~1e-6. Regression:
+    cast('long') truncated a [0,1] score column's max to 0 -> empty output."""
+    from medical_ocr_service_spark.operators.datasets import (
+        weighted_downsample,
+    )
+
+    rows = [(i, 1.0 if i % 2 else 0.25) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = weighted_downsample(df, "w", "doc_id").collect()
+    full = [r for r in kept if r["w"] == 1.0]
+    quarter = [r for r in kept if r["w"] == 0.25]
+    assert len(full) == 200  # p = 1 -> every max-weight row survives
+    # p = 0.25 over 200 rows: expectation 50, md5 is uniform enough that
+    # [20, 90] is a >6-sigma-safe band (this is deterministic, not flaky)
+    assert 20 <= len(quarter) <= 90
+    # determinism: the SAME rows survive on a second run
+    again = weighted_downsample(df, "w", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in kept
+    )
+
+
+def test_quantized_ann_topk_without_label_column(spark):
+    """id_col/vec_col are parameterized, so the passthrough must not
+    hard-require a 'label' column (regression: AnalysisException on any
+    frame without one)."""
+    from medical_ocr_service_spark.operators import similarity_search
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity_search.quantized_ann_topk(df, query_id=5, k=2)
+    assert out.columns == ["vec_id", "qdot"]
+    assert out.count() == 2
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -409,19 +492,35 @@ def test_chunk_documents_overlap_math(spark):
                                ["doc_id", "text"])
     out = chunk_documents(df, "text", "doc_id", chunk_tokens=10, overlap=4)
     rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
-    # stride 6, 25 tokens -> ceil(25/6) = 5 chunks starting 0,6,12,18,24
-    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3, 4]
+    # stride 6, 25 tokens -> max(1, ceil((25-4)/6)) = 4 chunks starting
+    # 0,6,12,18 — a 5th chunk at start 24 would be FULLY CONTAINED in
+    # chunk 3 (tokens 18-24), duplicating training content
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3]
     assert rows[(1, 0)]["chunk_text"].split() == [f"w{i}" for i in range(10)]
     assert rows[(1, 1)]["chunk_text"].split() == [
         f"w{i}" for i in range(6, 16)
     ]  # 4-token overlap with chunk 0
-    assert rows[(1, 4)]["n_tokens"] == 1  # final short chunk: token 24 only
+    assert rows[(1, 3)]["n_tokens"] == 7  # final short chunk: tokens 18-24
+    assert rows[(1, 3)]["chunk_text"].split() == [
+        f"w{i}" for i in range(18, 25)
+    ]  # every token covered exactly once past the overlap
     # short doc -> exactly one chunk; empty doc -> none
     assert sorted(c for d, c in rows if d == 2) == [0]
     assert rows[(2, 0)]["chunk_text"] == "a b"
     assert not [1 for d, _ in rows if d == 3]
     with _pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=5, overlap=5)
+    # regression: 0 < len % stride <= overlap used to emit a trailing
+    # chunk fully contained in its predecessor (21 tokens, chunk 30,
+    # overlap 10 -> stride 20: old ceil(21/20) = 2 chunks, the second
+    # just token 20 which chunk 0 already carries). Now exactly 1.
+    df21 = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(21)))], ["doc_id", "text"]
+    )
+    out21 = chunk_documents(
+        df21, "text", "doc_id", chunk_tokens=30, overlap=10
+    ).collect()
+    assert len(out21) == 1 and out21[0]["n_tokens"] == 21
 
 
 def test_ngram_topk_trigrams(spark):

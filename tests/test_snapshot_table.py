@@ -304,6 +304,20 @@ def test_stream_extraction_snapshot_exactly_once(spark, corpus_dir, tmp_path):
     # would silently drop genuinely NEW data as "replayed").
     with pytest.raises(ValueError, match="checkpoint"):
         stream_extraction_snapshot(spark, stream_dir, media, t, str(tmp_path / "ck2"))
+    # file:// URIs are decidable locally -> same refusal as a bare path
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_extraction_snapshot(
+            spark, stream_dir, media, t, "file://" + str(tmp_path / "ck2")
+        )
+    # remote URIs are NOT decidable via os.path.isdir (always False) — the
+    # guard must skip them rather than refuse every legitimate remote
+    # restart. The failure here must come from the (absent) s3a filesystem
+    # at stream start, never from the fresh-checkpoint ValueError.
+    with pytest.raises(Exception) as ei:
+        stream_extraction_snapshot(
+            spark, stream_dir, media, t, "s3a://no-such-bucket/ck"
+        )
+    assert not isinstance(ei.value, ValueError)
     q2 = stream_extraction_snapshot(
         spark, stream_dir, media, t, str(tmp_path / "ck2"),
         assume_replayed_source=True,
