@@ -432,6 +432,77 @@ def chunk_dedup_stats(
 # End-to-end near-dup removal: pairs -> components -> surviving corpus
 # ---------------------------------------------------------------------------
 
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """The REWRITE half of sub-document exact dedup: documents come back out
+    with every globally-duplicated chunk removed (C4's "keep one occurrence
+    of each three-sentence span" rule over fixed-width token chunks —
+    ``chunk_dedup_stats`` measures the damage, this operator repairs it).
+
+    Keep rule: each chunk occurrence is (doc, chunk_idx); the GLOBAL first
+    occurrence — minimum (id, idx) lexicographically — survives, every other
+    occurrence (including later repeats inside the SAME doc) is dropped.
+    Chunk identity is md5 of the lowercased single-space-joined tokens (the
+    ``chunk_dedup_stats`` convention); the rebuilt text keeps the ORIGINAL
+    token case with whitespace normalised to single spaces.
+
+    Output: (id_col, n_chunks, n_kept, clean_text) — docs whose every chunk
+    is owned elsewhere (n_kept = 0) are removed from the corpus entirely.
+
+    Plan (100 TB-safe):
+      * chunk hashes are computed INSIDE the row (sequence + transform +
+        slice + md5) before posexplode, so every hash-side shuffle carries
+        (id, idx, 16-byte-hex) only — never chunk text;
+      * the winner per hash is one map-side-combined min(struct(id, idx))
+        aggregate; kept idx lists fold back to one array per doc via a
+        second ids-only aggregate;
+      * document text moves exactly ONCE, through the final equi-join of the
+        (id, kept_idxs) frame against the token arrays; the rebuild re-slices
+        the token array per kept idx inside the row (narrow projection).
+    """
+    tk_col = F.filter(
+        F.split(F.col(text_col), "[ \t\n\r]+"), lambda x: x != ""
+    )
+    toks = df.select(F.col(id_col).alias("id"), tk_col.alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    n_chunks = F.ceil(F.size("tk") / F.lit(float(chunk_tokens))).cast("long")
+    chunk_txt = lambda g: F.array_join(  # noqa: E731
+        F.slice(F.col("tk"), (g * chunk_tokens + 1).cast("int"), chunk_tokens),
+        " ",
+    )
+    hash_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda g: F.md5(F.lower(chunk_txt(g))),
+    )
+    occ = toks.select("id", F.posexplode(hash_arr).alias("idx", "h"))
+    winners = occ.groupBy("h").agg(F.min(F.struct("id", "idx")).alias("w"))
+    kept = (
+        occ.join(winners, "h")
+        .filter((F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx")))
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("idx")).alias("_kept"),
+        )
+    )
+    rebuilt = toks.join(kept, "id").select(
+        F.col("id").alias(id_col),
+        F.ceil(F.size("tk") / F.lit(float(chunk_tokens)))
+        .cast("long")
+        .alias("n_chunks"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda i: chunk_txt(i.cast("long"))),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt
+
+
 def dedup_corpus(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

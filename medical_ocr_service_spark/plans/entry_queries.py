@@ -2614,6 +2614,49 @@ def chunk_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_dedup_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(tk)/20.0) AS BIGINT))) AS idx,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+               g -> array_to_string(tk[g*20+1 : g*20+20], ' '))) AS chunk
+      FROM toks WHERE len(tk) > 0),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(chunk))
+                                ORDER BY doc_id, idx) AS rn
+      FROM occ)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1)
+             AS clean_text
+    FROM ranked GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE rn = 1) >= 1
+    """,
+)
+def chunk_dedup_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: the REWRITE half of C4-style sub-document dedup
+    (operators/dedup.chunk_dedup_rewrite) — global-first-occurrence keep
+    rule per 20-token chunk, documents reassembled in order with owned
+    chunks only; fully-duplicated docs drop out of the corpus. Hash-side
+    shuffles carry (id, idx, md5) only; text moves once through the final
+    id equi-join."""
+    from ..operators.dedup import chunk_dedup_rewrite
+
+    return chunk_dedup_rewrite(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=20
+    )
+
+
+@query(
     "stratified_balance_sample",
     """
     WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
@@ -3257,7 +3300,10 @@ _DRIVER_WINDOW: list[str] = [
     "f4_matricula_validity",
     "f5_date_roundtrip",
     "f6_id_type_classifier",
-    "f10_base64_roundtrip",
+    # f10_base64_roundtrip yields its rotation slot to chunk_dedup_rewrite
+    # (NEW this session, never driver-verified > refresh of an r2-green
+    # unchanged one-liner); f10 joins the round-5 window pool.
+    "chunk_dedup_rewrite",
     "f16_split_normalize",
     "f22_cost_model",
     "p4_pagination",
@@ -3321,12 +3367,14 @@ _DRIVER_WINDOW: list[str] = [
 # daily_new_users, cohort_retention, conversion_funnel,
 # weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang,
 # cube_order_stats, pivot_user_event_matrix, doc_chunks_overlap,
-# bigram_topk, length_quartiles_by_lang; the rest r1-r3-green and
-# unchanged). 53 candidates for 50 slots: q1_pricing_summary and
-# a1_customer_rollup (each driver-green in r1+r2+r3, unchanged since) and
+# bigram_topk, length_quartiles_by_lang; plus f10_base64_roundtrip, which
+# yielded its r4 rotation slot to chunk_dedup_rewrite; the rest r1-r3-green
+# and unchanged). 54 candidates for 50 slots: q1_pricing_summary and
+# a1_customer_rollup (each driver-green in r1+r2+r3, unchanged since),
 # ann_cosine_topk (r3-green AND re-measured by bench.py's HEADLINE list at
-# sf0.1 every round) yield their slots — the only three queries whose final
-# driver CORRECTNESS evidence will be r3 rather than r4/r5; every other
+# sf0.1 every round) and a2_conditional_counts (r1+r2-green, unchanged,
+# refreshed in the r4 window) yield their slots — the only four queries
+# whose final driver CORRECTNESS evidence predates r5; every other
 # registered query gets a driver row in r4 or r5. Do NOT register new
 # queries in round 5 unless they displace an r4-green unchanged entry; if
 # round 5 changes any query's lineage, that query must ALSO sit in the r5

@@ -557,6 +557,65 @@ def test_chunk_dedup_within_doc_duplicates_count_once(spark):
     assert (row["n_chunks"], row["n_owned"]) == (1, 1)
 
 
+def test_chunk_dedup_rewrite_keep_rule_and_reassembly(spark):
+    # doc 0 owns the shared chunk; doc 1 loses it but keeps its unique tail;
+    # doc 2 is ENTIRELY the shared chunk -> drops out of the corpus;
+    # doc 3 repeats one chunk inside itself -> second occurrence removed;
+    # doc 4 has no tokens -> dropped. Case is preserved, hashing is not
+    # case-sensitive (doc 1's copy differs only by case and still loses).
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, shared.upper() + " zeta eta theta iota kappa"),
+            (2, "  " + shared + "  "),
+            (3, "x y x y z w"),
+            (4, " \t "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup_rewrite(
+            df, "text", "doc_id", chunk_tokens=5
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 3]  # 2 fully-duplicated, 4 empty
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (1, 1)
+    assert out[0]["clean_text"] == shared
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["clean_text"] == "zeta eta theta iota kappa"
+    # doc 3 with chunk_tokens=5: chunks are ["x y x y z", "w"] — no repeat
+    # at width 5; re-run at width 2 to exercise the within-doc rule.
+    row3 = (
+        dedup.chunk_dedup_rewrite(
+            df.filter("doc_id = 3"), "text", "doc_id", chunk_tokens=2
+        )
+        .collect()[0]
+    )
+    assert (row3["n_chunks"], row3["n_kept"]) == (3, 2)
+    assert row3["clean_text"] == "x y z w"
+
+
+def test_chunk_dedup_rewrite_is_idempotent(spark):
+    # a second pass over this corpus is a no-op. NOT a theorem: a doc that
+    # lost chunks re-chunks at shifted boundaries, which could in principle
+    # collide with another doc's chunk — the assertion documents that the
+    # deterministic test corpus (and any corpus without such collisions)
+    # reaches a fixpoint after one pass.
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    once = dedup.chunk_dedup_rewrite(d, "text", "doc_id", chunk_tokens=20)
+    twice = dedup.chunk_dedup_rewrite(
+        once, "clean_text", "doc_id", chunk_tokens=20
+    ).select("doc_id", F.col("clean_text"))
+    diff = (
+        once.select("doc_id", "clean_text")
+        .exceptAll(twice)
+        .unionAll(twice.exceptAll(once.select("doc_id", "clean_text")))
+    )
+    assert diff.count() == 0
+
+
 def test_quantized_ann_matches_float_ranking_on_separable_data(spark):
     # axis-aligned clusters: int8 quantization preserves the coarse ranking
     rows = [
