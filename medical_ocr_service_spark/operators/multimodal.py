@@ -31,6 +31,11 @@ metadata propagation) is real and tested. Pixel decoding:
 Reference parity: the reference validates/compresses images with sharp and
 renders PDFs with pdftoppm (/root/reference/src/services/image.service.js:186-240,
 src/services/pdf.service.js:17-109); here those are per-batch Arrow operators.
+
+Multimodal dedup: `average_hash` / `image_hashes` / `image_near_pairs` tie
+the real codecs into the dedup family — 64-bit perceptual aHash per image
+(the only Python stage; 8 bytes/image leave it), then the SimHash-style
+4x16-bit pigeonhole band join + bit_count(xor) verification, all JVM-side.
 """
 
 from __future__ import annotations
@@ -512,6 +517,112 @@ def compress_images(media: DataFrame, max_bytes: int = MAX_BYTES) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=media.schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + image near-dup pairs (multimodal dedup)
+# ---------------------------------------------------------------------------
+
+def average_hash(arr: np.ndarray, hash_size: int = 8) -> int:
+    """64-bit perceptual aHash of an RGB uint8 raster: integer BT.601
+    grayscale -> nearest-neighbor resize to hash_size x hash_size ->
+    threshold at the mean. Bit (r * hash_size + c), LSB-first, is 1 iff the
+    cell is strictly brighter than the mean. Pure integer/numpy — no codec
+    libraries, deterministic across hosts."""
+    a = arr.astype(np.int64)
+    gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    small = resize_nearest(gray, hash_size, hash_size)
+    bits = (small > small.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def image_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, mime, ahash) for every decodable image row — the
+    signature half of multimodal near-dup detection. The decode is the one
+    legitimately-Python stage (Arrow-batched mapInPandas over the REAL
+    bmp/png/jpeg codecs); everything downstream of it ships an 8-byte
+    signature per image, never pixels. Undecodable or non-image rows are
+    dropped (dedup must not pair rows whose content it could not see).
+
+    The uint64 hash is emitted in Spark's signed-long bit pattern so the
+    JVM-side hamming math (bit_count(a XOR b), shiftrightunsigned band
+    extraction) operates on the identical 64 bits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image" or r.mime not in REAL_DECODERS or r.payload is None:
+                    continue
+                try:
+                    _, _, arr = REAL_DECODERS[r.mime](bytes(r.payload))
+                except Exception:
+                    continue
+                h = average_hash(arr)
+                if h >= 1 << 63:  # two's-complement into LongType
+                    h -= 1 << 64
+                rows.append({"media_id": r.media_id, "mime": r.mime, "ahash": h})
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "ahash"])
+
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
+        run, schema="media_id string, mime string, ahash long"
+    )
+
+
+def image_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs: hamming(aHash) <= max_hamming (default 3 —
+    robust to re-encoding, quality changes and small retouches; exact
+    re-encodes land at distance 0). The pixel stage emits one 64-bit
+    signature per image; pairing is the SimHash blocking plan re-used on
+    image signatures: split the 64-bit hash into 4 x 16-bit bands — by
+    pigeonhole any pair within hamming 3 agrees on at least one full band —
+    join on (band_idx, band_value), then verify with bit_count(xor). All
+    JVM-side; the band join ships (band, id, sig) only.
+
+    max_hamming must stay <= 3 for the 4-band blocking to be lossless; a
+    larger radius needs more/narrower bands (k+1 bands for radius k).
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding is only complete for max_hamming <= 3; "
+            f"got {max_hamming} (use more bands for a larger radius)"
+        )
+    sigs = image_hashes(media)
+    chunks = sigs.select(
+        F.col("media_id").alias("id"),
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("ahash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = chunks.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("id").alias("id_a"), F.col("ahash").alias("sig_a"),
+    )
+    b = chunks.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("id").alias("id_b"), F.col("ahash").alias("sig_b"),
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

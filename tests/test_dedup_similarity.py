@@ -483,6 +483,71 @@ def test_real_png_features_and_compress(spark):
     assert arr.shape == (350, 450, 3)
 
 
+def test_image_near_pairs_perceptual_hash(spark):
+    # multimodal dedup over REAL pixels: the same raster re-encoded
+    # losslessly (BMP -> PNG) hashes identically (hamming 0); a retouched
+    # copy (+80 brightness on a corner region) stays within the radius
+    # (hamming 2); structurally different gradients (hamming 17-23) never
+    # pair; an undecodable payload is silently dropped, never paired.
+    import numpy as np
+
+    from medical_ocr_service_spark.operators import multimodal as M
+
+    base = M.gradient_bmp(400, 300, seed=1)
+    _, _, arr = M.decode_bmp(base)
+    retouched = arr.astype(np.int16).copy()
+    retouched[:75, :50, :] += 80
+    retouched = np.clip(retouched, 0, 255).astype(np.uint8)
+    rows = [
+        ("m0", "image", "image/bmp", base, 400, 300, None),
+        ("m1", "image", "image/png", M.encode_png(arr), 400, 300, None),
+        ("m2", "image", "image/bmp", M.encode_bmp(retouched), 400, 300, None),
+        ("m3", "image", "image/bmp", M.gradient_bmp(400, 300, seed=2), 400, 300, None),
+        ("m4", "image", "image/bmp", b"not a bitmap", None, None, None),
+        ("m5", "audio", "audio/wav", b"\x00" * 16, None, None, 10),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    sigs = {r["media_id"]: r["ahash"] for r in M.image_hashes(media).collect()}
+    assert sorted(sigs) == ["m0", "m1", "m2", "m3"]  # m4 undecodable, m5 audio
+    assert sigs["m0"] == sigs["m1"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.image_near_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[("m0", "m1")] == 0
+    assert pairs[("m0", "m2")] == 2 and pairs[("m1", "m2")] == 2
+    assert all("m3" not in p and "m4" not in p for p in pairs)
+
+    with pytest.raises(ValueError, match="max_hamming <= 3"):
+        M.image_near_pairs(media, max_hamming=4)
+
+
+def test_average_hash_band_sign_bit(spark):
+    # a hash with bit 63 set crosses the signed-long boundary: band
+    # extraction must use the UNSIGNED shift and hamming must survive the
+    # two's-complement representation end-to-end.
+    import numpy as np
+
+    from medical_ocr_service_spark.operators import multimodal as M
+
+    # bottom half bright, top half dark -> bits 32..63 set (incl. bit 63)
+    arr = np.zeros((300, 400, 3), np.uint8)
+    arr[150:, :, :] = 255
+    h = M.average_hash(arr)
+    assert h >> 63 == 1 and h == ((1 << 32) - 1) << 32
+    rows = [
+        ("s0", "image", "image/bmp", M.encode_bmp(arr), 400, 300, None),
+        ("s1", "image", "image/png", M.encode_png(arr), 400, 300, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = M.image_hashes(media).collect()
+    assert all(r["ahash"] == h - (1 << 64) for r in got)  # signed bit pattern
+    out = M.image_near_pairs(media).collect()
+    assert [(out[0]["id_a"], out[0]["id_b"], out[0]["hamming"])] == [("s0", "s1", 0)]
+
+
 def test_connected_components_chain_and_isolated_pair(spark):
     from medical_ocr_service_spark.operators.dedup import connected_components
 
