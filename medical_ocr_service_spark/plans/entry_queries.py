@@ -2924,6 +2924,74 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(e, pairs, "vec_id").select("vec_id", "label")
 
 
+@query("image_near_dup_pairs")
+def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup END-TO-END over REAL pixels (rows-only: pixel decode
+    is not SQL-expressible): a deterministic corpus of real BMP payloads
+    where some rasters reappear as lossless PNG re-encodes (signature-equal,
+    hamming 0), light retouches (brightness patch on a corner region,
+    hamming 1-3) and lossy quality-90 JPEG re-encodes (hamming 0-1) ->
+    64-bit perceptual aHash per image (the only Python stage; 8 bytes/image
+    leave the Arrow batch) -> 4x16-bit pigeonhole band join +
+    bit_count(xor) <= 3 verification, all JVM-side. Undecodable and
+    non-image rows are dropped, never paired. Every constant below is pure
+    integer math over deterministic rasters, so the 13-edge result is
+    bit-stable across hosts. Reference parity: the reference dedups uploads
+    by content hash only (src/services/storage.service.js:88-104); this is
+    the perceptual near-dup extension of that gate."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg
+    from ..operators import multimodal as M
+
+    w, h = 168, 128
+    # per-seed retouch (patch_h_frac, patch_w_frac, delta) chosen so every
+    # retouched copy lands at hamming 1-3 of its base (verified constants)
+    retouch = {6: (16, 2, 50), 7: (8, 4, 40), 8: (8, 4, 60), 9: (8, 4, 60)}
+    rows: list[tuple] = []
+    for s in range(24):
+        base = M.gradient_bmp(w, h, seed=s)
+        rows.append((f"img{s:02d}", "image", "image/bmp", base, w, h, None))
+        if s < 6:  # lossless re-encode -> identical signature
+            _, _, arr = M.decode_bmp(base)
+            rows.append(
+                (f"img{s:02d}p", "image", "image/png", M.encode_png(arr), w, h, None)
+            )
+        elif s in retouch:  # light retouch -> near dup within the radius
+            fh, fw, delta = retouch[s]
+            _, _, arr = M.decode_bmp(base)
+            r = arr.astype(np.int16)
+            r[: h // fh, : w // fw] += delta
+            rows.append(
+                (
+                    f"img{s:02d}r",
+                    "image",
+                    "image/bmp",
+                    M.encode_bmp(np.clip(r, 0, 255).astype(np.uint8)),
+                    w,
+                    h,
+                    None,
+                )
+            )
+        elif 10 <= s <= 12:  # lossy re-encode -> near dup through DCT loss
+            _, _, arr = M.decode_bmp(base)
+            rows.append(
+                (
+                    f"img{s:02d}j",
+                    "image",
+                    "image/jpeg",
+                    encode_jpeg(arr, quality=90),
+                    w,
+                    h,
+                    None,
+                )
+            )
+    rows.append(("imgxx", "image", "image/bmp", b"corrupt", None, None, None))
+    rows.append(("aud00", "audio", "audio/wav", b"\x00" * 16, None, None, 100))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    return M.image_near_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
 @query(
     "length_deciles",
     """
@@ -3308,7 +3376,11 @@ _DRIVER_WINDOW: list[str] = [
     "f22_cost_model",
     "p4_pagination",
     "t4_recency_limit",
-    "t5_priority_case_sort",
+    # t5_priority_case_sort yields its rotation slot to image_near_dup_pairs
+    # (NEW this session, never driver-verified, the multimodal family's only
+    # driver row > refresh of an r2-green unchanged CASE sort); t5 joins the
+    # round-5 yielder list.
+    "image_near_dup_pairs",
     "t6_popularity_topn",
     "t7_alternatives_slice",
     "lang_id_stopword",
@@ -3368,14 +3440,16 @@ _DRIVER_WINDOW: list[str] = [
 # weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang,
 # cube_order_stats, pivot_user_event_matrix, doc_chunks_overlap,
 # bigram_topk, length_quartiles_by_lang; plus f10_base64_roundtrip, which
-# yielded its r4 rotation slot to chunk_dedup_rewrite; the rest r1-r3-green
-# and unchanged). 54 candidates for 50 slots: q1_pricing_summary and
-# a1_customer_rollup (each driver-green in r1+r2+r3, unchanged since),
-# ann_cosine_topk (r3-green AND re-measured by bench.py's HEADLINE list at
-# sf0.1 every round) and a2_conditional_counts (r1+r2-green, unchanged,
-# refreshed in the r4 window) yield their slots — the only four queries
-# whose final driver CORRECTNESS evidence predates r5; every other
-# registered query gets a driver row in r4 or r5. Do NOT register new
+# yielded its r4 rotation slot to chunk_dedup_rewrite, and
+# t5_priority_case_sort, which yielded its r4 slot to image_near_dup_pairs;
+# the rest r1-r3-green and unchanged). 55 candidates for 50 slots:
+# q1_pricing_summary and a1_customer_rollup (each driver-green in r1+r2+r3,
+# unchanged since), ann_cosine_topk (r3-green AND re-measured by bench.py's
+# HEADLINE list at sf0.1 every round), a2_conditional_counts (r1+r2-green,
+# unchanged, refreshed in the r4 window) and t5_priority_case_sort
+# (r1+r2-green, unchanged trivial CASE sort, pytest-covered) yield their
+# slots — the only five queries whose final driver CORRECTNESS evidence
+# predates r5; every other registered query gets a driver row in r4 or r5. Do NOT register new
 # queries in round 5 unless they displace an r4-green unchanged entry; if
 # round 5 changes any query's lineage, that query must ALSO sit in the r5
 # window (same displacement rule).

@@ -474,10 +474,40 @@ def test_driver_window_registry_invariants():
     assert q[:50] == _DRIVER_WINDOW
     unknown = [n for n in _DRIVER_WINDOW if n not in q]
     assert not unknown
-    # every registered query is oracle-backed except the two rows-only e2e
+    # every registered query is oracle-backed except the rows-only ones
+    # (extraction e2e: pandas-UDF state machines; image near-dup: real
+    # pixel decode — neither is SQL-expressible)
     assert sorted(set(q) - set(oracles)) == [
         "extraction_e2e_details",
         "extraction_e2e_headers",
+        "image_near_dup_pairs",
+    ]
+
+
+def test_image_near_dup_pairs_query_lock(spark):
+    """Value lock for the rows-only driver query: the corpus constants are
+    deterministic pure-integer rasters, so the edge list must be exactly
+    the designed 13 pairs (6 lossless PNG re-encodes at hamming 0, 4 tuned
+    retouches at 1-3, 3 quality-90 JPEG re-encodes at 0-1) — a drift here
+    means a codec or the hash changed, not the corpus."""
+    from medical_ocr_service_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["image_near_dup_pairs"](spark, "unused").collect()
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in rows]
+    assert got == [
+        ("img00", "img00p", 0),
+        ("img01", "img01p", 0),
+        ("img02", "img02p", 0),
+        ("img03", "img03p", 0),
+        ("img04", "img04p", 0),
+        ("img05", "img05p", 0),
+        ("img06", "img06r", 3),
+        ("img07", "img07r", 2),
+        ("img08", "img08r", 1),
+        ("img09", "img09r", 2),
+        ("img10", "img10j", 0),
+        ("img11", "img11j", 1),
+        ("img12", "img12j", 1),
     ]
 
 
