@@ -263,6 +263,75 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Generic banded hamming pairing (shared by the signature-hash dedup family)
+# ---------------------------------------------------------------------------
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(sig) <= max_hamming over a
+    long-typed signature column — the pigeonhole blocking plan shared by
+    every fixed-width-hash dedup in this module: split the signature into
+    `n_bands` x `band_bits`-bit bands (any pair within hamming n_bands-1
+    agrees on at least one full band), shuffle-join on (band_idx,
+    band_value), verify survivors with JVM-side bit_count(xor). The band
+    join ships (band, id, sig) only — callers re-attach payloads after.
+
+    Band extraction uses the UNSIGNED shift so signatures occupying bit 63
+    (stored in two's-complement LongType) band correctly. simhash_near_pairs
+    above predates this helper and keeps its inline copy of the same plan
+    until its next driver-window rotation (consolidating it mid-round would
+    change a past-cutoff query's lineage without re-proof)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"{n_bands}x{band_bits}-bit banding is only complete for "
+            f"max_hamming <= {n_bands - 1}; got {max_hamming} "
+            "(use more bands for a larger radius)"
+        )
+    if n_bands * band_bits > 64:
+        raise ValueError("n_bands * band_bits must fit a 64-bit signature")
+    mask = (1 << band_bits) - 1
+    chunks = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(sig_col, band_bits * c).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = chunks.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = chunks.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (pair verifier / small-scale direct dedup)
 # ---------------------------------------------------------------------------
 

@@ -32,10 +32,13 @@ Reference parity: the reference validates/compresses images with sharp and
 renders PDFs with pdftoppm (/root/reference/src/services/image.service.js:186-240,
 src/services/pdf.service.js:17-109); here those are per-batch Arrow operators.
 
-Multimodal dedup: `average_hash` / `image_hashes` / `image_near_pairs` tie
-the real codecs into the dedup family — 64-bit perceptual aHash per image
-(the only Python stage; 8 bytes/image leave it), then the SimHash-style
-4x16-bit pigeonhole band join + bit_count(xor) verification, all JVM-side.
+Multimodal dedup: `average_hash` / `image_hashes` / `image_near_pairs` and
+`audio_fingerprint` / `audio_hashes` / `audio_near_pairs` tie the real
+codecs into the dedup family — a 64-bit perceptual signature per asset
+(aHash for images, sign-of-delta frame features for audio; the decode is
+the only Python stage and 8 bytes/asset leave it), then the shared
+dedup.banded_hamming_pairs 4x16-bit pigeonhole band join + bit_count(xor)
+verification, all JVM-side.
 """
 
 from __future__ import annotations
@@ -586,42 +589,94 @@ def image_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     max_hamming must stay <= 3 for the 4-band blocking to be lossless; a
     larger radius needs more/narrower bands (k+1 bands for radius k).
     """
-    if max_hamming > 3:
-        raise ValueError(
-            "4x16-bit banding is only complete for max_hamming <= 3; "
-            f"got {max_hamming} (use more bands for a larger radius)"
-        )
-    sigs = image_hashes(media)
-    chunks = sigs.select(
-        F.col("media_id").alias("id"),
-        "ahash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("ahash", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        image_hashes(media),
+        id_col="media_id",
+        sig_col="ahash",
+        n_bands=4,
+        band_bits=16,
+        max_hamming=max_hamming,
     )
-    a = chunks.select(
-        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
-        F.col("id").alias("id_a"), F.col("ahash").alias("sig_a"),
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting + audio near-dup pairs (multimodal dedup)
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint(samples: np.ndarray, n_frames: int = 17) -> int:
+    """64-bit sign-of-delta fingerprint of a mono float signal: split into
+    `n_frames` equal frames, per frame compute 4 deterministic features —
+    energy, zero-crossing count, and first/second-difference energy ratios
+    (spectral-tilt proxies) — then bit (t-1)*4+b is 1 iff feature b rose
+    from frame t-1 to frame t. Gain changes scale energy uniformly and leave
+    ratios/ZCR alone, so re-encodes and level changes hash identically;
+    content changes (other sweeps/tones) land tens of bits away. Pure
+    float64 numpy over fixed shapes — deterministic across hosts."""
+    if samples.ndim == 2:
+        samples = samples.mean(axis=1)
+    frame_len = len(samples) // n_frames
+    if frame_len < 3:
+        raise ValueError(f"signal too short for {n_frames}-frame fingerprint")
+    fr = samples[: frame_len * n_frames].reshape(n_frames, frame_len)
+    eps = 1e-12
+    energy = (fr**2).mean(axis=1)
+    zc = np.abs(np.diff(np.signbit(fr), axis=1)).sum(axis=1)
+    d1 = (np.diff(fr, axis=1) ** 2).mean(axis=1) / (energy + eps)
+    d2 = (np.diff(fr, 2, axis=1) ** 2).mean(axis=1) / (energy + eps)
+    feats = np.stack([energy, zc, d1, d2], axis=1)
+    v = 0
+    for t in range(1, n_frames):
+        for b in range(4):
+            if feats[t, b] > feats[t - 1, b]:
+                v |= 1 << ((t - 1) * 4 + b)
+    return v
+
+
+def audio_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, afp) for every decodable audio row — the signature half of
+    audio near-dup detection, mirroring image_hashes: the REAL WAV decode is
+    the one Python stage (Arrow-batched), 8 bytes/clip leave it. Undecodable,
+    too-short, or non-audio rows are dropped. The uint64 fingerprint is
+    emitted in Spark's signed-long bit pattern (see image_hashes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio" or r.mime != "audio/wav" or r.payload is None:
+                    continue
+                try:
+                    _, _, x = decode_wav(bytes(r.payload))
+                    h = audio_fingerprint(x)
+                except Exception:
+                    continue
+                if h >= 1 << 63:  # two's-complement into LongType
+                    h -= 1 << 64
+                rows.append({"media_id": r.media_id, "afp": h})
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
+        run, schema="media_id string, afp long"
     )
-    b = chunks.select(
-        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
-        F.col("id").alias("id_b"), F.col("ahash").alias("sig_b"),
-    )
-    return (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+
+def audio_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs: hamming(fingerprint) <= max_hamming — exact
+    re-encodes and pure gain changes land at 0, light retouches (a faint
+    added hum) within the radius, different material tens of bits away.
+    Same 4x16-bit pigeonhole band join as the image/simhash family; all
+    pairing JVM-side."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        audio_hashes(media),
+        id_col="media_id",
+        sig_col="afp",
+        n_bands=4,
+        band_bits=16,
+        max_hamming=max_hamming,
     )
 
 

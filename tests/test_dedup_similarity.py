@@ -548,6 +548,68 @@ def test_average_hash_band_sign_bit(spark):
     assert [(out[0]["id_a"], out[0]["id_b"], out[0]["hamming"])] == [("s0", "s1", 0)]
 
 
+def test_audio_near_pairs_fingerprint(spark):
+    # audio dedup over REAL WAV decode: a 16-bit re-encode and a pure gain
+    # change hash identically (hamming 0); a faint added 50 Hz hum stays
+    # within the radius (hamming 1); different material (reversed sweep,
+    # pure tone) lands tens of bits away; corrupt payloads and image rows
+    # are dropped, never paired.
+    import numpy as np
+
+    from medical_ocr_service_spark.operators import multimodal as M
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    up = 0.5 * np.sin(2 * np.pi * (220 + 330 * t) * t)
+    down = 0.5 * np.sin(2 * np.pi * (880 - 330 * t) * t)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    roundtrip = M.decode_wav(M.encode_wav(up, rate))[2][:, 0]
+    hum = np.clip(up + 0.08 * np.sin(2 * np.pi * 50 * t), -1, 1)
+    rows = [
+        ("a0", "audio", "audio/wav", M.encode_wav(up, rate), None, None, 1000),
+        ("a1", "audio", "audio/wav", M.encode_wav(roundtrip, rate), None, None, 1000),
+        ("a2", "audio", "audio/wav", M.encode_wav(up * 0.8, rate), None, None, 1000),
+        ("a3", "audio", "audio/wav", M.encode_wav(hum, rate), None, None, 1000),
+        ("a4", "audio", "audio/wav", M.encode_wav(down, rate), None, None, 1000),
+        ("a5", "audio", "audio/wav", M.encode_wav(tone, rate), None, None, 1000),
+        ("a6", "audio", "audio/wav", b"not riff", None, None, 1000),
+        ("m0", "image", "image/bmp", M.gradient_bmp(200, 150, seed=3), 200, 150, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    sigs = {r["media_id"]: r["afp"] for r in M.audio_hashes(media).collect()}
+    assert sorted(sigs) == ["a0", "a1", "a2", "a3", "a4", "a5"]
+    assert sigs["a0"] == sigs["a1"] == sigs["a2"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.audio_near_pairs(media).collect()
+    }
+    dup_group = ["a0", "a1", "a2"]
+    for i, x in enumerate(dup_group):
+        for y in dup_group[i + 1:]:
+            assert pairs[(x, y)] == 0
+    for x in dup_group:
+        assert pairs[(x, "a3")] == 1
+    assert all(
+        "a4" not in p and "a5" not in p and "a6" not in p and "m0" not in p
+        for p in pairs
+    )
+    assert len(pairs) == 6
+
+
+def test_banded_hamming_pairs_guards(spark):
+    from medical_ocr_service_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = spark.createDataFrame([("x", 1), ("y", 3)], "id string, sig long")
+    with pytest.raises(ValueError, match="max_hamming <= 3"):
+        banded_hamming_pairs(sigs, max_hamming=4)
+    with pytest.raises(ValueError, match="fit a 64-bit"):
+        banded_hamming_pairs(sigs, n_bands=5, band_bits=16, max_hamming=3)
+    got = banded_hamming_pairs(sigs).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [("x", "y", 1)]
+
+
 def test_connected_components_chain_and_isolated_pair(spark):
     from medical_ocr_service_spark.operators.dedup import connected_components
 
