@@ -610,6 +610,55 @@ def test_banded_hamming_pairs_guards(spark):
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [("x", "y", 1)]
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    bases=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=1,
+        max_size=4,
+    ),
+    perturbs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # base index (mod len)
+            st.sets(st.integers(min_value=0, max_value=63), max_size=5),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    radius=st.integers(min_value=0, max_value=3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_banded_hamming_pairs_fuzz_vs_bruteforce(spark, bases, perturbs, radius):
+    """banded_hamming_pairs must equal the quadratic brute force for any
+    radius its pigeonhole blocking claims to cover — including signatures
+    occupying bit 63 (negative LongType) and duplicate signatures."""
+    from medical_ocr_service_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = [bases[bi % len(bases)] ^ sum(1 << b for b in bits)
+            for bi, bits in perturbs]
+    signed = [s - (1 << 64) if s >= 1 << 63 else s for s in sigs]
+    ids = [f"s{i:02d}" for i in range(len(sigs))]
+    expected = {
+        (ids[i], ids[j], bin(sigs[i] ^ sigs[j]).count("1"))
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= radius
+    }
+    df = spark.createDataFrame(list(zip(ids, signed)), "id string, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in banded_hamming_pairs(df, max_hamming=radius).collect()
+    }
+    assert got == expected
+
+
 def test_connected_components_chain_and_isolated_pair(spark):
     from medical_ocr_service_spark.operators.dedup import connected_components
 
