@@ -659,6 +659,23 @@ def test_banded_hamming_pairs_fuzz_vs_bruteforce(spark, bases, perturbs, radius)
     assert got == expected
 
 
+def test_banded_hamming_pairs_plan_is_equi_join(spark):
+    """The whole point of the pigeonhole banding is turning quadratic
+    all-pairs hamming into ONE shuffle equi-join on (band_idx, band_val);
+    the physical plan must never degrade to a nested-loop/cartesian
+    product (which is what a hamming <= k predicate joins into without
+    the blocking)."""
+    from medical_ocr_service_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = spark.createDataFrame(
+        [(f"s{i}", i * 37) for i in range(8)], "id string, sig long"
+    )
+    plan = banded_hamming_pairs(sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_connected_components_chain_and_isolated_pair(spark):
     from medical_ocr_service_spark.operators.dedup import connected_components
 
