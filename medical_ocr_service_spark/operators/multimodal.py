@@ -32,13 +32,16 @@ Reference parity: the reference validates/compresses images with sharp and
 renders PDFs with pdftoppm (/root/reference/src/services/image.service.js:186-240,
 src/services/pdf.service.js:17-109); here those are per-batch Arrow operators.
 
-Multimodal dedup: `average_hash` / `image_hashes` / `image_near_pairs` and
-`audio_fingerprint` / `audio_hashes` / `audio_near_pairs` tie the real
-codecs into the dedup family — a 64-bit perceptual signature per asset
-(aHash for images, sign-of-delta frame features for audio; the decode is
-the only Python stage and 8 bytes/asset leave it), then the shared
+Multimodal dedup: `average_hash` / `image_hashes` / `image_near_pairs`,
+`audio_fingerprint` / `audio_hashes` / `audio_near_pairs` and
+`video_frame_hashes` / `video_near_pairs` tie the real codecs into the
+dedup family — a 64-bit perceptual signature per asset/frame (aHash for
+rasters, sign-of-delta frame features for audio; the decode is the only
+Python stage and 8 bytes/signature leave it), then the shared
 dedup.banded_hamming_pairs 4x16-bit pigeonhole band join + bit_count(xor)
-verification, all JVM-side.
+verification, all JVM-side. Video pairing aggregates the frame-level band
+join into per-pair matched-frame overlap fractions (partial edits pair,
+different cuts don't).
 """
 
 from __future__ import annotations
@@ -677,6 +680,141 @@ def audio_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         n_bands=4,
         band_bits=16,
         max_hamming=max_hamming,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: MJBM frame container + per-frame hashing + overlap pairing
+# ---------------------------------------------------------------------------
+# Standard video codecs (H.264 etc.) stay environment-gated stubs by design;
+# MJBM is the deterministic REAL-plumbing stand-in: a parseable motion-JPEG-
+# style container of length-prefixed real BMP frames, so the Spark-side
+# video-dedup plan (container parse -> per-frame signature -> frame-level
+# banded join -> per-pair overlap fraction) runs over genuine pixels.
+
+MJBM_MAGIC = b"MJBM"
+MJBM_MIME = "video/x-mjbm"
+
+
+def encode_mjbm(frames: list[np.ndarray], fps: int = 1) -> bytes:
+    """Real-raster video container: magic, fps, frame count, then each frame
+    as a length-prefixed 24-bit BMP. Byte-deterministic for fixed frames."""
+    out = [MJBM_MAGIC, struct.pack("<HI", fps, len(frames))]
+    for fr in frames:
+        b = encode_bmp(fr)
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_mjbm(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """-> (fps, [HxWx3 uint8 frames]). Raises on malformed containers."""
+    if len(payload) < 10 or payload[:4] != MJBM_MAGIC:
+        raise ValueError("not an MJBM payload")
+    fps, n = struct.unpack_from("<HI", payload, 4)
+    pos, frames = 10, []
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated MJBM frame table")
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if pos + ln > len(payload):
+            raise ValueError("truncated MJBM frame payload")
+        frames.append(decode_bmp(payload[pos : pos + ln])[2])
+        pos += ln
+    return fps, frames
+
+
+def video_frame_hashes(media: DataFrame, stride: int = 1) -> DataFrame:
+    """(media_id, frame_idx, fhash) for every `stride`-th frame of every
+    decodable MJBM video row — the signature half of video near-dup. The
+    container parse + aHash is the one Python stage (Arrow-batched); 8
+    bytes/frame leave it. Undecodable or non-video rows are dropped."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video" or r.mime != MJBM_MIME or r.payload is None:
+                    continue
+                try:
+                    _, frames = decode_mjbm(bytes(r.payload))
+                except Exception:
+                    continue
+                for i in range(0, len(frames), stride):
+                    h = average_hash(frames[i])
+                    if h >= 1 << 63:  # two's-complement into LongType
+                        h -= 1 << 64
+                    rows.append(
+                        {"media_id": r.media_id, "frame_idx": i, "fhash": h}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "fhash"])
+
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
+        run, schema="media_id string, frame_idx int, fhash long"
+    )
+
+
+def video_near_pairs(
+    media: DataFrame,
+    min_overlap: float = 0.6,
+    max_hamming: int = 3,
+    stride: int = 1,
+) -> DataFrame:
+    """Video near-dup pairs: (id_a, id_b, overlap) where overlap is the
+    SMALLER of the two directional matched-frame fractions — frame i of A
+    is 'matched' if some frame of B is within hamming max_hamming of its
+    aHash — and pairs below min_overlap are dropped. Catches re-encodes,
+    per-frame retouches, and partial edits (a few swapped frames) while a
+    mostly-different cut falls under the threshold.
+
+    Plan: per-frame signatures (8 bytes/frame out of Python) -> the shared
+    4x16-bit banded hamming join at FRAME granularity (frame key =
+    media_id#frame_idx) -> strip the frame level and aggregate distinct
+    matched frames per unordered video pair -> join per-video frame counts
+    (broadcast; one row per video) -> fraction filter. Everything after
+    the signature stage is JVM-side; no cartesian product at any level."""
+    from .dedup import banded_hamming_pairs
+
+    fh = video_frame_hashes(media, stride=stride)
+    n_frames = fh.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    sigs = fh.select(
+        F.concat_ws("#", "media_id", "frame_idx").alias("id"),
+        F.col("fhash").alias("sig"),
+    )
+    fp = banded_hamming_pairs(sigs, max_hamming=max_hamming)
+    va = F.substring_index(F.col("id_a"), "#", 1)
+    vb = F.substring_index(F.col("id_b"), "#", 1)
+    cross = (
+        fp.select(va.alias("va"), F.col("id_a").alias("fa"),
+                  vb.alias("vb"), F.col("id_b").alias("fb"))
+        .filter(F.col("va") != F.col("vb"))
+        # normalize to unordered video pair, keeping each side's frame key
+        .select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            F.when(F.col("va") <= F.col("vb"), F.col("fa")).otherwise(F.col("fb")).alias("frame_a"),
+            F.when(F.col("va") <= F.col("vb"), F.col("fb")).otherwise(F.col("fa")).alias("frame_b"),
+        )
+    )
+    matched = cross.groupBy("id_a", "id_b").agg(
+        F.countDistinct("frame_a").alias("m_a"),
+        F.countDistinct("frame_b").alias("m_b"),
+    )
+    counts = F.broadcast(n_frames)
+    return (
+        matched.join(counts.withColumnRenamed("media_id", "id_a"), "id_a")
+        .withColumnRenamed("n_frames", "n_a")
+        .join(counts.withColumnRenamed("media_id", "id_b"), "id_b")
+        .withColumnRenamed("n_frames", "n_b")
+        .withColumn(
+            "overlap",
+            F.least(F.col("m_a") / F.col("n_a"), F.col("m_b") / F.col("n_b")),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "overlap")
     )
 
 

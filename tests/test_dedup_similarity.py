@@ -659,6 +659,62 @@ def test_banded_hamming_pairs_fuzz_vs_bruteforce(spark, bases, perturbs, radius)
     assert got == expected
 
 
+def test_video_near_pairs_overlap(spark):
+    # video dedup over the MJBM real-raster container: an exact re-encode
+    # overlaps 1.0; a partial edit (2 of 6 frames swapped) overlaps 2/3 and
+    # still pairs at min_overlap=0.6; an all-different cut never pairs; a
+    # truncated container and an opaque video/mp4 row are dropped. Frame
+    # seeds chosen so every cross-video frame hash is >= 5 bits apart
+    # (verified constants).
+    from medical_ocr_service_spark.operators import multimodal as M
+
+    def frames(seeds):
+        return [M.decode_bmp(M.gradient_bmp(168, 128, seed=s))[2] for s in seeds]
+
+    base = [100, 101, 102, 103, 104, 105]
+    v0 = M.encode_mjbm(frames(base))
+    v1 = M.encode_mjbm(frames(base))                       # re-encode
+    v2 = M.encode_mjbm(frames([100, 101, 102, 103, 200, 201]))  # partial edit
+    v3 = M.encode_mjbm(frames([300, 301, 302, 303, 306, 307]))  # different cut
+    rows = [
+        ("v0", "video", M.MJBM_MIME, v0, None, None, 6000),
+        ("v1", "video", M.MJBM_MIME, v1, None, None, 6000),
+        ("v2", "video", M.MJBM_MIME, v2, None, None, 6000),
+        ("v3", "video", M.MJBM_MIME, v3, None, None, 6000),
+        ("v4", "video", M.MJBM_MIME, v0[:40], None, None, 6000),  # truncated
+        ("v5", "video", "video/mp4", b"\x00" * 64, None, None, 6000),  # opaque
+        ("m0", "image", "image/bmp", M.gradient_bmp(168, 128, seed=1), 168, 128, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    fh = M.video_frame_hashes(media)
+    per_vid = {r["media_id"] for r in fh.select("media_id").distinct().collect()}
+    assert per_vid == {"v0", "v1", "v2", "v3"}
+    assert fh.count() == 24  # 6 frames each; v4/v5/m0 dropped
+
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in M.video_near_pairs(media, min_overlap=0.6).collect()
+    }
+    assert set(got) == {("v0", "v1"), ("v0", "v2"), ("v1", "v2")}
+    assert got[("v0", "v1")] == 1.0
+    assert abs(got[("v0", "v2")] - 4 / 6) < 1e-12
+    assert abs(got[("v1", "v2")] - 4 / 6) < 1e-12
+    # raising the bar past 2/3 keeps only the exact re-encode
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in M.video_near_pairs(media, min_overlap=0.7).collect()
+    }
+    assert strict == {("v0", "v1")}
+    # stride sampling halves the frame set but identical videos still pair
+    assert M.video_frame_hashes(media, stride=2).count() == 12
+    with pytest.raises(ValueError):
+        M.video_frame_hashes(media, stride=0)
+    # container roundtrip is exact
+    fps, fr = M.decode_mjbm(v0)
+    assert fps == 1 and len(fr) == 6 and (fr[0] == frames([100])[0]).all()
+
+
 def test_banded_hamming_pairs_plan_is_equi_join(spark):
     """The whole point of the pigeonhole banding is turning quadratic
     all-pairs hamming into ONE shuffle equi-join on (band_idx, band_val);
