@@ -617,6 +617,8 @@ def audio_fingerprint(samples: np.ndarray, n_frames: int = 17) -> int:
     ratios/ZCR alone, so re-encodes and level changes hash identically;
     content changes (other sweeps/tones) land tens of bits away. Pure
     float64 numpy over fixed shapes — deterministic across hosts."""
+    if (n_frames - 1) * 4 > 64:
+        raise ValueError("(n_frames - 1) * 4 bits must fit a 64-bit signature")
     if samples.ndim == 2:
         samples = samples.mean(axis=1)
     frame_len = len(samples) // n_frames
@@ -780,13 +782,18 @@ def video_near_pairs(
 
     fh = video_frame_hashes(media, stride=stride)
     n_frames = fh.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+    # frame key delimiter: the unit-separator control char, which cannot
+    # collide with ids the way '#' or '/' could (frame_idx is numeric, so
+    # splitting at the FIRST delimiter recovers the id either way — unless
+    # the id itself contained the delimiter)
+    sep = "\x1f"
     sigs = fh.select(
-        F.concat_ws("#", "media_id", "frame_idx").alias("id"),
+        F.concat_ws(sep, "media_id", "frame_idx").alias("id"),
         F.col("fhash").alias("sig"),
     )
     fp = banded_hamming_pairs(sigs, max_hamming=max_hamming)
-    va = F.substring_index(F.col("id_a"), "#", 1)
-    vb = F.substring_index(F.col("id_b"), "#", 1)
+    va = F.substring_index(F.col("id_a"), sep, 1)
+    vb = F.substring_index(F.col("id_b"), sep, 1)
     cross = (
         fp.select(va.alias("va"), F.col("id_a").alias("fa"),
                   vb.alias("vb"), F.col("id_b").alias("fb"))
