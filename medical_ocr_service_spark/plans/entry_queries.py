@@ -2992,6 +2992,108 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_near_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@query("audio_near_dup_pairs")
+def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup END-TO-END over REAL WAV decode (rows-only: PCM decode is
+    not SQL-expressible): eight structurally distinct 1 s signals (sweeps,
+    pure/dual tones, AM, harmonic stack, gated burst — every cross-base
+    fingerprint >8 bits apart, verified constants) where some reappear as
+    gain changes (hamming 0-1: the per-frame energy fingerprint is
+    level-invariant up to 16-bit quantization), a 16-bit re-encode
+    (hamming 0) and a faint 50 Hz hum overlay (hamming 1) -> 64-bit
+    spectral-band fingerprint per clip (the only Python stage; 8 bytes/clip
+    leave the Arrow batch) -> the shared 4x16-bit pigeonhole band join +
+    bit_count(xor) <= 3, all JVM-side. Corrupt payloads and image rows are
+    dropped, never paired. Reference parity: the reference's upload dedup is
+    content-hash only (src/services/storage.service.js:88-104); this is the
+    perceptual near-dup extension for its audio mimetypes."""
+    import numpy as np
+
+    from ..operators import multimodal as M
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    bases = {
+        "up": 0.5 * np.sin(2 * np.pi * (220 + 330 * t) * t),
+        "down": 0.5 * np.sin(2 * np.pi * (880 - 330 * t) * t),
+        "tone": 0.5 * np.sin(2 * np.pi * 440 * t),
+        "duo": 0.3 * np.sin(2 * np.pi * 310 * t) + 0.3 * np.sin(2 * np.pi * 1270 * t),
+        "am": 0.5 * np.sin(2 * np.pi * 620 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)),
+        "harm": 0.25 * (
+            np.sin(2 * np.pi * 150 * t)
+            + np.sin(2 * np.pi * 450 * t)
+            + np.sin(2 * np.pi * 750 * t)
+        ),
+        "hi": 0.5 * np.sin(2 * np.pi * 2900 * t),
+        "burst": 0.5 * np.sin(2 * np.pi * 500 * t) * np.where((t * 4) % 1 < 0.5, 1.0, 0.05),
+    }
+
+    def wav(x: "np.ndarray") -> bytes:
+        return M.encode_wav(np.clip(x, -1, 1), rate)
+
+    rows: list[tuple] = [
+        (f"aud{i:02d}", "audio", "audio/wav", wav(x), None, None, 1000)
+        for i, x in enumerate(bases.values())
+    ]
+    # near-dup copies (suffixes: g=gain, r=re-encode, h=hum overlay)
+    rows.append(("aud00g", "audio", "audio/wav", wav(bases["up"] * 0.8), None, None, 1000))
+    rows.append(("aud03g", "audio", "audio/wav", wav(bases["duo"] * 0.8), None, None, 1000))
+    rows.append(("aud04g", "audio", "audio/wav", wav(bases["am"] * 0.8), None, None, 1000))
+    reenc = M.decode_wav(wav(bases["down"]))[2][:, 0]
+    rows.append(("aud01r", "audio", "audio/wav", wav(reenc), None, None, 1000))
+    hum = bases["up"] + 0.08 * np.sin(2 * np.pi * 50 * t)
+    rows.append(("aud00h", "audio", "audio/wav", wav(hum), None, None, 1000))
+    rows.append(("audxx", "audio", "audio/wav", b"not riff", None, None, 1000))
+    rows.append(("img00", "image", "image/bmp", M.gradient_bmp(64, 48, seed=1), 64, 48, None))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    return M.audio_near_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query("video_near_dup_pairs")
+def video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup END-TO-END over the MJBM real-raster container (rows-only:
+    frame decode is not SQL-expressible): two 6-frame originals plus an
+    exact re-encode of each (overlap 1.0), a partial edit sharing 4 of 6
+    frames (overlap 2/3), an all-different cut, a truncated container and
+    an opaque video/mp4 row (both dropped). Frame seeds chosen so every
+    cross-video frame aHash is >=4 bits apart (verified constants), so the
+    only frame matches are the designed ones at the hamming<=3 radius.
+    Plan: per-frame aHash (the only Python stage; 8 bytes/frame leave the
+    Arrow batch) -> shared banded hamming join at frame granularity ->
+    per-pair directional matched-frame fractions -> min-fraction filter at
+    0.6 — everything after the signature stage JVM-side, no cartesian
+    product at any level."""
+    from ..operators import multimodal as M
+
+    def clip(seeds: list[int]) -> bytes:
+        return M.encode_mjbm(
+            [M.decode_bmp(M.gradient_bmp(168, 128, seed=s))[2] for s in seeds]
+        )
+
+    cut_a = [100, 101, 102, 103, 104, 105]
+    cut_b = [300, 301, 302, 303, 306, 307]
+    cut_c = [400, 401, 402, 403, 404, 405]
+    v0 = clip(cut_a)
+    v4 = clip(cut_c)
+    rows = [
+        ("vid0", "video", M.MJBM_MIME, v0, None, None, 6000),
+        ("vid1", "video", M.MJBM_MIME, clip(cut_a), None, None, 6000),  # re-encode
+        ("vid2", "video", M.MJBM_MIME, clip([100, 101, 102, 103, 200, 201]), None, None, 6000),
+        ("vid3", "video", M.MJBM_MIME, clip(cut_b), None, None, 6000),  # different cut
+        ("vid4", "video", M.MJBM_MIME, v4, None, None, 6000),
+        ("vid5", "video", M.MJBM_MIME, clip(cut_c), None, None, 6000),  # re-encode
+        ("vidxx", "video", M.MJBM_MIME, v0[:40], None, None, 6000),  # truncated
+        ("vidyy", "video", "video/mp4", b"\x00" * 64, None, None, 6000),  # opaque
+        ("img00", "image", "image/bmp", M.gradient_bmp(168, 128, seed=1), 168, 128, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    return (
+        M.video_near_pairs(media, min_overlap=0.6, max_hamming=3)
+        .withColumn("overlap", F.round("overlap", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query(
     "length_deciles",
     """
@@ -3435,20 +3537,23 @@ _DRIVER_WINDOW: list[str] = [
     "length_deciles",
 ]
 # ROUND-5 WINDOW PLAN (mechanical swap next round): set _DRIVER_WINDOW to
-# the queries currently past the cutoff (11 of them never driver-verified:
+# the queries currently past the cutoff (13 of them never driver-verified:
 # daily_new_users, cohort_retention, conversion_funnel,
 # weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang,
 # cube_order_stats, pivot_user_event_matrix, doc_chunks_overlap,
-# bigram_topk, length_quartiles_by_lang; plus f10_base64_roundtrip, which
+# bigram_topk, length_quartiles_by_lang, audio_near_dup_pairs,
+# video_near_dup_pairs; plus f10_base64_roundtrip, which
 # yielded its r4 rotation slot to chunk_dedup_rewrite, and
 # t5_priority_case_sort, which yielded its r4 slot to image_near_dup_pairs;
-# the rest r1-r3-green and unchanged). 55 candidates for 50 slots:
+# the rest r1-r3-green and unchanged). 57 candidates for 50 slots:
 # q1_pricing_summary and a1_customer_rollup (each driver-green in r1+r2+r3,
 # unchanged since), ann_cosine_topk (r3-green AND re-measured by bench.py's
 # HEADLINE list at sf0.1 every round), a2_conditional_counts (r1+r2-green,
-# unchanged, refreshed in the r4 window) and t5_priority_case_sort
-# (r1+r2-green, unchanged trivial CASE sort, pytest-covered) yield their
-# slots — the only five queries whose final driver CORRECTNESS evidence
+# unchanged, refreshed in the r4 window), t5_priority_case_sort
+# (r1+r2-green, unchanged trivial CASE sort, pytest-covered),
+# a4_queue_stats and a6_usage_summary (r1+r2-green, refreshed in the r4
+# window, unchanged trivial rollups) yield their
+# slots — the only seven queries whose final driver CORRECTNESS evidence
 # predates r5; every other registered query gets a driver row in r4 or r5. Do NOT register new
 # queries in round 5 unless they displace an r4-green unchanged entry; if
 # round 5 changes any query's lineage, that query must ALSO sit in the r5

@@ -478,9 +478,11 @@ def test_driver_window_registry_invariants():
     # (extraction e2e: pandas-UDF state machines; image near-dup: real
     # pixel decode — neither is SQL-expressible)
     assert sorted(set(q) - set(oracles)) == [
+        "audio_near_dup_pairs",
         "extraction_e2e_details",
         "extraction_e2e_headers",
         "image_near_dup_pairs",
+        "video_near_dup_pairs",
     ]
 
 
@@ -508,6 +510,43 @@ def test_image_near_dup_pairs_query_lock(spark):
         ("img10", "img10j", 0),
         ("img11", "img11j", 1),
         ("img12", "img12j", 1),
+    ]
+
+
+def test_audio_near_dup_pairs_query_lock(spark):
+    """Value lock for the rows-only audio dedup query: the corpus constants
+    are deterministic synthesized WAVs, so the edge list must be exactly the
+    designed 6 pairs (three gain changes at hamming 0-1, one 16-bit
+    re-encode at 0, one hum overlay at 1 plus its transitive gain edge) — a
+    drift means the WAV codec or the fingerprint changed, not the corpus."""
+    from medical_ocr_service_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["audio_near_dup_pairs"](spark, "unused").collect()
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in rows]
+    assert got == [
+        ("aud00", "aud00g", 0),
+        ("aud00", "aud00h", 1),
+        ("aud00g", "aud00h", 1),
+        ("aud01", "aud01r", 0),
+        ("aud03", "aud03g", 0),
+        ("aud04", "aud04g", 1),
+    ]
+
+
+def test_video_near_dup_pairs_query_lock(spark):
+    """Value lock for the rows-only video dedup query: two re-encode pairs
+    at overlap 1.0 and one 4-of-6-frame partial edit at 2/3 (which also
+    pairs with the re-encode of its base); the different cut, truncated
+    container and opaque mp4 row never pair."""
+    from medical_ocr_service_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["video_near_dup_pairs"](spark, "unused").collect()
+    got = [(r["id_a"], r["id_b"], r["overlap"]) for r in rows]
+    assert got == [
+        ("vid0", "vid1", 1.0),
+        ("vid0", "vid2", 0.666667),
+        ("vid1", "vid2", 0.666667),
+        ("vid4", "vid5", 1.0),
     ]
 
 
