@@ -225,40 +225,22 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Blocking: split the 60-bit signature into 4 x 15-bit chunks; by pigeonhole
-    any pair within hamming 3 shares at least one exact chunk — join on
-    (chunk_idx, chunk_value), then verify with bit_count(xor)."""
+    Blocking: split the 60-bit signature into 4 x 15-bit bands; by
+    pigeonhole any pair within hamming 3 shares at least one exact band.
+    r5 consolidation (r4 verdict #4): this is exactly
+    ``banded_hamming_pairs`` at (4, 15) — the inline copy this function
+    carried through r3/r4 is gone now that its driver-window rotation
+    allows a lineage change with same-round re-proof. The unsigned band
+    shift in the shared helper is identical to the old signed shift here:
+    a 60-bit signature never occupies bit 63."""
     sigs = simhash_signatures(df, text_col, id_col)
-    chunks = sigs.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 15 * c).bitwiseAND(F.lit(0x7FFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
-    a = chunks.select(
-        F.col("chunk_idx").alias("ci"), F.col("chunk_val").alias("cv"),
-        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
-    )
-    b = chunks.select(
-        F.col("chunk_idx").alias("ci"), F.col("chunk_val").alias("cv"),
-        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
-    )
-    return (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return banded_hamming_pairs(
+        sigs,
+        id_col="id",
+        sig_col="simhash",
+        n_bands=4,
+        band_bits=15,
+        max_hamming=max_hamming,
     )
 
 
@@ -283,10 +265,7 @@ def banded_hamming_pairs(
     join ships (band, id, sig) only — callers re-attach payloads after.
 
     Band extraction uses the UNSIGNED shift so signatures occupying bit 63
-    (stored in two's-complement LongType) band correctly. simhash_near_pairs
-    above predates this helper and keeps its inline copy of the same plan
-    until its next driver-window rotation (consolidating it mid-round would
-    change a past-cutoff query's lineage without re-proof)."""
+    (stored in two's-complement LongType) band correctly."""
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"{n_bands}x{band_bits}-bit banding is only complete for "
@@ -364,7 +343,11 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    compressed_iter: int = 30,
 ) -> DataFrame:
     """(node, component_id) over an undirected pair graph — min-label
     propagation, the last step of the dedup pipeline (LSH emits PAIRS; the
@@ -385,8 +368,23 @@ def connected_components(
     (early-exit, no full materialization beyond the checkpoint itself).
 
     Deterministic: min() over node ids, no randomness, no float math.
-    Raises after ``max_iter`` non-converged rounds (pathological chains —
-    pre-split giant components or raise the cap).
+
+    Giant-component degrade path (r4 verdict stretch #7): near-dup
+    clusters are diameter 2-4 in practice, but a pathological 10^6-node
+    chain would need 10^6 plain rounds. After ``max_iter`` rounds the loop
+    switches to COMPRESSED rounds — the same neighbour-min step followed
+    by one label-composition step (label <- label(label), pointer
+    doubling/path compression) — which converge in O(log diameter)
+    further rounds, so the worst case is ~max_iter + log2(diameter) total.
+    Composition alone is NOT sufficient (it stalls on k-neighbourhood
+    local minima); interleaved with the neighbour-min step the fixpoint is
+    provably the component min: at fixpoint label(u) <= label(v) across
+    every (symmetric) edge -> labels are component-constant, and both
+    steps preserve label(u) ∈ component(u) ∧ label(u) <= u. The plain
+    phase stays first because for shallow graphs it is one join per round
+    instead of two, and every converging input keeps the exact pre-r5
+    plan. Raises only if ``compressed_iter`` further rounds also fail
+    (diameter > 25 * 2^30 is not a graph, it is corrupted input).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -399,22 +397,36 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter + compressed_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
+        new_labels = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        if it >= max_iter:
+            # compressed phase: one label-composition (pointer-doubling)
+            # step — every label value is itself a node in the table, so
+            # the self-join always matches (coalesce kept for safety)
+            parents = new_labels.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            new_labels = new_labels.join(
+                parents, new_labels["label"] == parents["pnode"], "left"
+            ).select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("plabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -426,7 +438,8 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("label").alias("component_id"))
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
+        "connected_components did not converge in "
+        f"{max_iter} plain + {compressed_iter} compressed iterations"
     )
 
 

@@ -61,13 +61,23 @@ def test_minhash_exact_dup_jaccard_is_one(dup_docs):
 
 
 def test_simhash_near_pairs(dup_docs):
-    pairs = dedup.simhash_near_pairs(dup_docs, "text", "doc_id", max_hamming=10).toPandas()
+    # max_hamming=3 is the completeness bound of the 4x15-bit banding; the
+    # r5-consolidated path (banded_hamming_pairs) rejects a larger radius
+    # instead of silently under-recalling like the pre-r5 inline copy did.
+    pairs = dedup.simhash_near_pairs(dup_docs, "text", "doc_id", max_hamming=3).toPandas()
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
     for b in (0, 10, 20):
         assert (b, b + 1) in got  # exact dup -> hamming 0
     ham = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
     for b in (0, 10, 20):
         assert ham[(b, b + 1)] == 0
+
+
+def test_simhash_near_pairs_rejects_incomplete_radius(dup_docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="only complete"):
+        dedup.simhash_near_pairs(dup_docs, "text", "doc_id", max_hamming=10)
 
 
 def test_ngram_jaccard_pairs(dup_docs):
@@ -766,12 +776,51 @@ def test_connected_components_max_iter_raises(spark):
 
     from medical_ocr_service_spark.operators.dedup import connected_components
 
-    # a 5-chain cannot converge in 1 round of min-propagation
+    # a 5-chain cannot converge in 1 round of min-propagation, and with the
+    # compressed phase disabled the exhaustion raise is still reachable
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, compressed_iter=0)
+
+
+def test_connected_components_giant_chain_degrades_not_raises(spark):
+    """r4 verdict stretch #7: a pathological long chain exhausts the plain
+    O(diameter) phase and must DEGRADE into the compressed (pointer-
+    doubling) phase instead of raising — a 64-node chain with max_iter=2
+    needs the doubling rounds to close the remaining ~60 hops in ~6 rounds
+    rather than 60."""
+    from medical_ocr_service_spark.operators.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges, max_iter=2).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_compressed_phase_handles_local_minima(spark):
+    """Composition alone stalls on k-neighbourhood local minima (e.g. the
+    path 5-1-6-0: after one plain round node 5 points to 1, a pure-doubling
+    fixpoint, while the component min is 0). The compressed phase
+    interleaves the neighbour-min step, so it must find the true min."""
+    from medical_ocr_service_spark.operators.dedup import connected_components
+
+    # path with non-monotone ids + a long tail to force the compressed phase
+    path = [5, 1, 6, 0, 9, 4, 8, 2, 7, 3, 10, 12, 11, 14, 13, 16, 15]
+    edges = spark.createDataFrame(
+        list(zip(path, path[1:])), "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert got == {v: 0 for v in path}
 
 
 def test_chunk_dedup_stats_ownership(spark):
