@@ -214,13 +214,21 @@ def unigram_familiarity(
     head-token mass.
 
     Plan: one tokenize -> groupBy(doc, token) tf -> corpus counts DERIVE
-    from the tf frame (vocabulary-sized, map-side combined) and broadcast
-    back -> one groupBy(doc) for (mass, dl) -> TakeOrdered bottom-k. The
-    corpus-sized path shuffles on (doc, token) once and doc once; the
+    from the tf frame (vocabulary-sized, map-side combined) and join back
+    on token -> one groupBy(doc) for (mass, dl) -> TakeOrdered bottom-k.
+    The corpus-sized path shuffles on (doc, token) once and doc once; the
     corpus-total scalar crossJoins as a broadcast. mass fits int64 up to
     ~10^18 token-occurrence products (dl ~ 10^3 x head-count ~ 10^13 at
     100 TB leaves 2 orders of margin; the DECIMAL(38,0) cast removes even
     that ceiling).
+
+    The vocab-counts join carries NO broadcast hint (r4 verdict #3): on a
+    clean corpus the vocabulary is small and AQE broadcasts it at runtime,
+    but 100 TB of web text has 10^8-10^9 distinct tokens (URLs, typos,
+    numbers) and a forced broadcast OOMs the driver. Unhinted, the join
+    key (token) is the same partitioning the vocab aggregate just produced,
+    so the shuffle-join path reuses that exchange. Only the single-row
+    corpus-total frame keeps an explicit broadcast.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -234,7 +242,7 @@ def unigram_familiarity(
         F.sum(F.col("cnt").cast("decimal(38,0)")).alias("total_tokens")
     )
     per_doc = (
-        tf.join(F.broadcast(vocab), "token")
+        tf.join(vocab, "token")
         .groupBy("id")
         .agg(
             # cast BEFORE multiplying: tf*cnt in BIGINT would wrap silently
@@ -286,10 +294,16 @@ def bm25_topk_terms(
 
     Plan: tokenize (narrow) -> groupBy(doc, token) tf -> dl and df both
     DERIVE from the tf frame (one tokenize, map-side combines everywhere).
-    df-per-token and the 2 corpus scalars are vocabulary-/unit-sized ->
-    broadcast back; the dl join and the final top-k window share the
-    groupBy(doc)'s hash partitioning, so the fact path shuffles on
-    (doc, token) once and on doc once.
+    The df-per-token join back is UNHINTED (r4 verdict #3): "vocabulary-
+    sized" is only broadcast-safe on a clean corpus — at 100 TB of web
+    text the distinct-token count reaches 10^8-10^9 rows and a forced
+    broadcast OOMs; AQE broadcasts it at runtime when it is actually
+    small, and the unhinted join key (token) is the partitioning the df
+    aggregate just produced, so the shuffle path reuses that exchange.
+    Only the 1-row corpus-scalars frame keeps an explicit broadcast; the
+    dl join and the final top-k window share the groupBy(doc)'s hash
+    partitioning, so the fact path shuffles on (doc, token) once and on
+    doc once.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -311,7 +325,7 @@ def bm25_topk_terms(
         F.col("tf") + k1 * ((1.0 - b) + (b * F.col("dl")) / avgdl)
     )
     scored = (
-        tf.join(F.broadcast(dft), "token")
+        tf.join(dft, "token")
         .join(dl, "id")
         .crossJoin(F.broadcast(corp))
         .withColumn("score", odds * sat)

@@ -127,6 +127,33 @@ def test_unigram_familiarity_skips_empty_docs(spark):
     assert [r["doc_id"] for r in out] == [1]
 
 
+def test_text_scorers_hint_broadcast_only_on_scalar_frames(spark):
+    """r4 verdict #3: the vocabulary-sized joins (corpus counts back onto
+    the tf frame) must carry NO broadcast hint — at web-scale the distinct-
+    token count reaches 10^8-10^9 rows and a forced broadcast OOMs; AQE
+    picks broadcast at runtime when the vocab is actually small. Exactly
+    ONE hint is allowed per scorer: the single-row corpus-scalars frame.
+    The token groupBys must still map-side combine (partial aggregates in
+    the physical plan)."""
+    from medical_ocr_service_spark.operators.text_analysis import (
+        bm25_topk_terms,
+        unigram_familiarity,
+    )
+
+    rows = [(i, f"tok{i % 7} the and tok{i % 11}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for out in (
+        unigram_familiarity(df, "text", "doc_id", bottom_k=3),
+        bm25_topk_terms(df, "text", "doc_id", k=2),
+    ):
+        qe = out._jdf.queryExecution()
+        analyzed = qe.analyzed().toString()
+        # one ResolvedHint total: the 1-row scalar crossJoin, nothing else
+        assert analyzed.count("ResolvedHint") == 1, analyzed
+        physical = qe.executedPlan().toString()
+        assert "partial_" in physical  # token aggs map-side combine
+
+
 def test_funnel_out_of_order_click_does_not_count(spark):
     from medical_ocr_service_spark.operators.temporal import funnel
 
@@ -476,7 +503,10 @@ def test_driver_window_registry_invariants():
     assert not unknown
     # every registered query is oracle-backed except the rows-only ones
     # (extraction e2e: pandas-UDF state machines; image near-dup: real
-    # pixel decode — neither is SQL-expressible)
+    # pixel decode; audio near-dup: real WAV decode + spectral-band
+    # fingerprinting; video near-dup: MJBM container + per-frame raster
+    # decode — none of these decode stages is SQL-expressible, and each
+    # rows-only query's content is value-locked by a dedicated pytest)
     assert sorted(set(q) - set(oracles)) == [
         "audio_near_dup_pairs",
         "extraction_e2e_details",
