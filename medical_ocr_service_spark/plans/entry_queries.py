@@ -2936,9 +2936,11 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) <= 3 verification, all JVM-side. Undecodable and
     non-image rows are dropped, never paired. Every constant below is pure
     integer math over deterministic rasters, so the 13-edge result is
-    bit-stable across hosts. Reference parity: the reference dedups uploads
-    by content hash only (src/services/storage.service.js:88-104); this is
-    the perceptual near-dup extension of that gate."""
+    bit-stable across hosts. Reference parity: the reference dedups images
+    by content hash only (sha256 over the raw buffer,
+    src/services/gpt-vision.service.js:22; the idempotent archivo_hash sink
+    src/services/feedback.service.js:28-58); this is the perceptual
+    near-dup extension of that gate."""
     import numpy as np
 
     from ..functions.jpeg import encode_jpeg
@@ -3004,9 +3006,11 @@ def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectral-band fingerprint per clip (the only Python stage; 8 bytes/clip
     leave the Arrow batch) -> the shared 4x16-bit pigeonhole band join +
     bit_count(xor) <= 3, all JVM-side. Corrupt payloads and image rows are
-    dropped, never paired. Reference parity: the reference's upload dedup is
-    content-hash only (src/services/storage.service.js:88-104); this is the
-    perceptual near-dup extension for its audio mimetypes."""
+    dropped, never paired. The reference handles no audio mimetypes at all
+    (its only content dedup is image/file sha256 —
+    src/services/gpt-vision.service.js:22, feedback.service.js:28-58), so
+    this operator is a training-data-pipeline extension, not a parity
+    claim: the perceptual analogue of that hash gate for audio columns."""
     import numpy as np
 
     from ..operators import multimodal as M
@@ -3052,22 +3056,37 @@ def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("video_near_dup_pairs")
 def video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video dedup END-TO-END over the MJBM real-raster container (rows-only:
-    frame decode is not SQL-expressible): two 6-frame originals plus an
-    exact re-encode of each (overlap 1.0), a partial edit sharing 4 of 6
-    frames (overlap 2/3), an all-different cut, a truncated container and
-    an opaque video/mp4 row (both dropped). Frame seeds chosen so every
-    cross-video frame aHash is >=4 bits apart (verified constants), so the
-    only frame matches are the designed ones at the hamming<=3 radius.
+    frame decode is not SQL-expressible): two 6-frame originals plus a
+    LOSSY re-encode of each — every frame decoded and put through a real
+    quality-90 JPEG roundtrip before re-containering, landing each frame at
+    aHash hamming 0-1 of its source (overlap 1.0) — a partial edit sharing
+    4 of 6 frames (overlap 2/3), an all-different cut, a truncated
+    container and an opaque video/mp4 row (both dropped). Frame seeds
+    chosen so every cross-video frame aHash is >=4 bits apart (verified
+    constants), so the only frame matches are the designed ones at the
+    hamming<=3 radius.
     Plan: per-frame aHash (the only Python stage; 8 bytes/frame leave the
     Arrow batch) -> shared banded hamming join at frame granularity ->
     per-pair directional matched-frame fractions -> min-fraction filter at
     0.6 — everything after the signature stage JVM-side, no cartesian
     product at any level."""
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
     from ..operators import multimodal as M
 
     def clip(seeds: list[int]) -> bytes:
         return M.encode_mjbm(
             [M.decode_bmp(M.gradient_bmp(168, 128, seed=s))[2] for s in seeds]
+        )
+
+    def lossy_reencode(payload: bytes) -> bytes:
+        # a REAL re-encode (advice r4): decode the container, run every
+        # frame through a lossy quality-90 JPEG roundtrip, re-container —
+        # the near-dup pair exercises codec-noise invariance, not byte
+        # equality (the audio aud01r twin does the same via quantization)
+        fps, frames = M.decode_mjbm(payload)
+        return M.encode_mjbm(
+            [decode_jpeg(encode_jpeg(fr, quality=90))[2] for fr in frames],
+            fps=fps,
         )
 
     cut_a = [100, 101, 102, 103, 104, 105]
@@ -3077,11 +3096,11 @@ def video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     v4 = clip(cut_c)
     rows = [
         ("vid0", "video", M.MJBM_MIME, v0, None, None, 6000),
-        ("vid1", "video", M.MJBM_MIME, clip(cut_a), None, None, 6000),  # re-encode
+        ("vid1", "video", M.MJBM_MIME, lossy_reencode(v0), None, None, 6000),
         ("vid2", "video", M.MJBM_MIME, clip([100, 101, 102, 103, 200, 201]), None, None, 6000),
         ("vid3", "video", M.MJBM_MIME, clip(cut_b), None, None, 6000),  # different cut
         ("vid4", "video", M.MJBM_MIME, v4, None, None, 6000),
-        ("vid5", "video", M.MJBM_MIME, clip(cut_c), None, None, 6000),  # re-encode
+        ("vid5", "video", M.MJBM_MIME, lossy_reencode(v4), None, None, 6000),
         ("vidxx", "video", M.MJBM_MIME, v0[:40], None, None, 6000),  # truncated
         ("vidyy", "video", "video/mp4", b"\x00" * 64, None, None, 6000),  # opaque
         ("img00", "image", "image/bmp", M.gradient_bmp(168, 128, seed=1), 168, 128, None),
@@ -3454,110 +3473,92 @@ def length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries. Queries past position 50 remain registered (and were each driver-
 # green in r01/r02); they are reachable by pytest and future rotations.
 _DRIVER_WINDOW: list[str] = [
-    # -- round-4 rotation (verdict r3 #4): the 23 queries whose last driver
-    # row is r01/r02 come back through the window so no query's driver
-    # evidence goes more than ~2 rounds stale. All are unchanged + locally
-    # green since their last driver pass.
-    "a2_conditional_counts",
-    "a4_queue_stats",
-    "a6_usage_summary",
-    "a7_daily_breakdown",
-    "a8_hourly_buckets",
-    "a9_quota_check",
-    "a10_recent_windows",
-    "a11_coverage_stats",
-    "f1_normalize_text",
-    "f4_matricula_validity",
-    "f5_date_roundtrip",
-    "f6_id_type_classifier",
-    # f10_base64_roundtrip yields its rotation slot to chunk_dedup_rewrite
-    # (NEW this session, never driver-verified > refresh of an r2-green
-    # unchanged one-liner); f10 joins the round-5 window pool.
-    "chunk_dedup_rewrite",
-    "f16_split_normalize",
-    "f22_cost_model",
-    "p4_pagination",
-    "t4_recency_limit",
-    # t5_priority_case_sort yields its rotation slot to image_near_dup_pairs
-    # (NEW this session, never driver-verified, the multimodal family's only
-    # driver row > refresh of an r2-green unchanged CASE sort); t5 joins the
-    # round-5 yielder list.
-    "image_near_dup_pairs",
-    "t6_popularity_topn",
-    "t7_alternatives_slice",
-    "lang_id_stopword",
-    "text_token_stats",
-    "length_histogram",
-    # -- code CHANGED this round -> gates must re-prove under the driver --
-    "extraction_golden_equality",    # layout path reworked (pruned Arrow)
-    "previsacion_golden_equality",   # rides the same extraction lineage
-    "colocated_extraction_equality", # NEW: colocated-plan parity + span-less drop
-    "s2_snapshot_merge",             # snapshot substrate reworked (CAS/deltas)
-    "extraction_e2e_headers",        # rows-only by design
-    "extraction_e2e_details",        # rows-only by design
-    # -- r3-green load-bearing fill: keeps their evidence <=2 rounds old.
-    # q1_pricing_summary, a1_customer_rollup, j8_detail_enrichment_3way,
-    # ann_cosine_topk and f8_content_hash_dedup rotate OUT (all r3-green,
-    # code untouched this round) in favour of the six never-driver-verified
-    # queries below; they come back through the window next round.
-    "t3_latest_argmax",  # stays: argmax rework this round must re-prove
-    # minhash_near_dup_pairs and ivf_ann_topk rotate OUT (both r3-green,
-    # unchanged): the minhash pair SQL is the derived table inside BOTH
-    # dedup_components and dedup_survivors, so the driver still executes it
-    # transitively this round.
-    "dedup_survivors",  # NEW: composed pairs->components->anti-join removal
-    "centroid_outliers",  # NEW: per-label embedding outlier bottom-k
-    # -- NEW this session (never driver-verified -> window priority);
-    # displaces a3_detail_stats + a12_confidence_fold + j11_training_antijoin
-    # + simhash_near_dup_pairs (all r3-green, unchanged — back next round)
-    "chunk_dedup_stats",
-    "stratified_balance_sample",
+    # ROUND-5 ROTATION — executes the written r4 plan (the comment that
+    # lived here last round), amended by this round's lineage changes.
+    # Slots 1-15: every never-driver-verified query (13 registered late in
+    # r4, plus the two r4 slot-yielders f10/t5 whose last driver rows are
+    # r2-green on unchanged code).
+    "audio_near_dup_pairs",
+    "video_near_dup_pairs",
+    "daily_new_users",
+    "cohort_retention",
+    "conversion_funnel",
+    "weighted_length_sample",
+    "stratum_sample_fixed_k",
+    "median_chars_by_lang",
+    "cube_order_stats",
+    "pivot_user_event_matrix",
+    "doc_chunks_overlap",
+    "bigram_topk",
+    "length_quartiles_by_lang",
+    "f10_base64_roundtrip",
+    "t5_priority_case_sort",
+    # Slots 16-21: code CHANGED this round -> must re-prove under the
+    # driver (the displacement rule: a lineage change puts the query in
+    # the same round's window).
+    #   simhash: consolidated onto the shared banded_hamming_pairs plan
+    #   bm25/unigram: vocabulary broadcast hints dropped (AQE decides)
+    #   components/survivors/semantic: connected_components gained the
+    #   giant-component degrade path (post-max_iter; converging inputs
+    #   keep the identical plan, re-proved here anyway)
+    "simhash_near_dup_pairs",
     "bm25_topk_terms",
-    "quantized_ann_topk",
-    # -- NEW this round (never driver-verified -> window priority); displaces
-    # hash_split_train_val_test + pack_sequences + lsh_ann_topk +
-    # embedding_near_dup_pairs + doc_fingerprints (all r3-green, unchanged —
-    # 1 round stale, back through the window next round)
-    "asof_last_purchase",
-    "sessionize_events",
-    "range_join_post_purchase",
-    "rollup_order_stats",
-    "token_topk",
-    "dedup_components",  # displaces contamination_check (r3-green, unchanged)
-    "p7_row_validity_gate",
-    "s8_coalesce_upsert",
-    # -- NEW this session (never driver-verified -> window priority);
-    # displaces the five rotated-out fills above plus pii_scrub (r3-green,
-    # unchanged — back next round)
     "unigram_familiarity_bottomk",
-    "interarrival_stats",
-    "salted_event_rollup",
-    "moving_avg_daily_revenue",
+    "dedup_components",
+    "dedup_survivors",
     "semantic_dedup_survivors",
-    "length_deciles",
+    # Slots 22-50: rotation fills — every remaining registered query whose
+    # last driver row predates r4 (all r1-r3-green, unchanged since),
+    # so no query's driver evidence goes more than ~2 rounds stale.
+    "length_percentiles",
+    "hash_split_train_val_test",
+    "pack_sequences",
+    "contamination_check",
+    "repetition_quality",
+    "pii_scrub",
+    "a12_confidence_fold",
+    "p6_time_window_filter",
+    "j5_candidate_payload_join",
+    "j7_header_enrichment",
+    "j9_fk_resolution_misses",
+    "j13_stats_semijoin",
+    "text_quality_score",
+    "p_dynamic_filters",
+    "stopword_punct_features",
+    "minhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "a3_detail_stats",
+    "j1_exact_shortcircuit",
+    "t8_training_sample_limit",
+    "f2_normalize_for_embedding",
+    "f7_full_name_concat",
+    "f3_digit_strip",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "doc_fingerprints",
+    "lang_id_multi",
+    "f11_json_parse_rescue",
+    "s10_export_join",
 ]
-# ROUND-5 WINDOW PLAN (mechanical swap next round): set _DRIVER_WINDOW to
-# the queries currently past the cutoff (13 of them never driver-verified:
-# daily_new_users, cohort_retention, conversion_funnel,
-# weighted_length_sample, stratum_sample_fixed_k, median_chars_by_lang,
-# cube_order_stats, pivot_user_event_matrix, doc_chunks_overlap,
-# bigram_topk, length_quartiles_by_lang, audio_near_dup_pairs,
-# video_near_dup_pairs; plus f10_base64_roundtrip, which
-# yielded its r4 rotation slot to chunk_dedup_rewrite, and
-# t5_priority_case_sort, which yielded its r4 slot to image_near_dup_pairs;
-# the rest r1-r3-green and unchanged). 57 candidates for 50 slots:
-# q1_pricing_summary and a1_customer_rollup (each driver-green in r1+r2+r3,
-# unchanged since), ann_cosine_topk (r3-green AND re-measured by bench.py's
-# HEADLINE list at sf0.1 every round), a2_conditional_counts (r1+r2-green,
-# unchanged, refreshed in the r4 window), t5_priority_case_sort
-# (r1+r2-green, unchanged trivial CASE sort, pytest-covered),
-# a4_queue_stats and a6_usage_summary (r1+r2-green, refreshed in the r4
-# window, unchanged trivial rollups) yield their
-# slots — the only seven queries whose final driver CORRECTNESS evidence
-# predates r5; every other registered query gets a driver row in r4 or r5. Do NOT register new
-# queries in round 5 unless they displace an r4-green unchanged entry; if
-# round 5 changes any query's lineage, that query must ALSO sit in the r5
-# window (same displacement rule).
+# The 12 yielders this round (the only registered queries without an r4 or
+# r5 driver row; every one is multi-round driver-green on unchanged code,
+# and six are additionally re-measured by this round's bench/pytest):
+#   q1_pricing_summary, a1_customer_rollup          r1+r2+r3 driver-green
+#   ann_cosine_topk, j8_detail_enrichment_3way,
+#   j11_training_antijoin, f8_content_hash_dedup    r3 driver-green + in
+#                                                   bench.py HEADLINE,
+#                                                   re-measured at sf0.1
+#                                                   every round incl. r5
+#   q1_pricing_summary is also a HEADLINE query     (same re-measurement)
+#   a5_batch_rollup, a16_group_concat_rollup,
+#   p1_tenant_filter, f12_cosine_similarity,
+#   f13_trigram_similarity, d4_boilerplate_strip    r3 driver-green,
+#                                                   unchanged, pytest-held
+#                                                   (p1: tenant-isolation
+#                                                   suite; d4: golden; f12/
+#                                                   f13: JVM-twin tests)
+# All 107 registered queries therefore hold a driver row from r4 or r5
+# except these 12, each r3-fresh — nothing is more than 2 rounds stale.
 
 
 def _apply_driver_window() -> None:
