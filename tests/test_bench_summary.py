@@ -214,3 +214,19 @@ def test_previsacion_best_of_reps_shape():
     ]
     best = min(legs, key=lambda leg: leg["sec"])
     assert best["sec"] == 26.5
+
+
+def test_still_converging_extension_predicate(bench):
+    # r5 run 4's actual 4N series: the final base rep set a new min by
+    # -5.7% -> the leg must extend.
+    assert bench._still_converging([13.74, 13.07, 12.33])
+    # converged series: newest rep within 1.5% of the running min -> stop.
+    assert not bench._still_converging([13.74, 12.33, 12.25])
+    # r5 run 4's N-leg series: -1.3% is inside the threshold -> no
+    # extension (the long N legs converge by rep 2).
+    assert not bench._still_converging([34.18, 33.73])
+    # a REGRESSING newest rep never extends (steal burst on the last rep).
+    assert not bench._still_converging([13.0, 12.5, 14.0])
+    # single-sample legs (iso_reps=1) have no baseline -> never extend.
+    assert not bench._still_converging([13.0])
+    assert not bench._still_converging([])
