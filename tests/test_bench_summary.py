@@ -230,3 +230,58 @@ def test_still_converging_extension_predicate(bench):
     # single-sample legs (iso_reps=1) have no baseline -> never extend.
     assert not bench._still_converging([13.0])
     assert not bench._still_converging([])
+
+
+def test_window_deferral_clears_immediately_in_clean_window(bench):
+    # probe >= DEFER_THRESH on the first draw: no sleep, no budget spent.
+    slept = []
+    draws, deferred = bench._window_deferral(
+        probe=iter([0.99]).__next__,
+        sleeper=slept.append,
+        remaining_fn=lambda: 1000.0,
+        floor_plus_reserves=600.0,
+        deferred_s=0.0,
+    )
+    assert draws == [0.99] and deferred == 0.0 and slept == []
+
+
+def test_window_deferral_sleeps_until_window_turns(bench):
+    # r5 run 5's shape: degraded draws (~0.80) until the window turns.
+    seq = iter([0.80, 0.85, 0.97])
+    slept = []
+    draws, deferred = bench._window_deferral(
+        probe=seq.__next__,
+        sleeper=slept.append,
+        remaining_fn=lambda: 10_000.0,
+        floor_plus_reserves=600.0,
+        deferred_s=0.0,
+    )
+    assert draws == [0.80, 0.85, 0.97]
+    assert deferred == 2 * bench.DEFER_SLEEP
+    assert slept == [bench.DEFER_SLEEP, bench.DEFER_SLEEP]
+
+
+def test_window_deferral_respects_total_budget_and_floor(bench):
+    # (a) DEFER_MAX_S exhausted: the loop stops while still degraded and
+    # the caller runs the pair anyway — cumulative across calls via the
+    # deferred_s carry-in.
+    always_bad = lambda: 0.5
+    draws, deferred = bench._window_deferral(
+        probe=always_bad,
+        sleeper=lambda s: None,
+        remaining_fn=lambda: 10_000.0,
+        floor_plus_reserves=600.0,
+        deferred_s=bench.DEFER_MAX_S - bench.DEFER_SLEEP,
+    )
+    assert len(draws) == 2  # exactly one more sleep fits
+    assert deferred == bench.DEFER_MAX_S
+    # (b) budget floor: remaining cannot cover reserves + one sleep ->
+    # no sleep at all, single draw returned.
+    draws, deferred = bench._window_deferral(
+        probe=always_bad,
+        sleeper=lambda s: (_ for _ in ()).throw(AssertionError("slept")),
+        remaining_fn=lambda: 650.0,
+        floor_plus_reserves=600.0,
+        deferred_s=0.0,
+    )
+    assert draws == [0.5] and deferred == 0.0
