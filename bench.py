@@ -436,7 +436,11 @@ def _scale_corpus_parquet(tmp: str) -> tuple[str, str]:
 
 
 def _run_extraction(
-    master_cores: int, docs_path: str, media_path: str, reps: int | None = None
+    master_cores: int,
+    docs_path: str,
+    media_path: str,
+    reps: int | None = None,
+    extend: int | None = None,
 ) -> dict:
     """Run one parallelism level in a CPU-pinned subprocess.
 
@@ -455,6 +459,8 @@ def _run_extraction(
         cmd = ["taskset", "-c", f"0-{master_cores - 1}"] + cmd
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_REPS"] = str(reps if reps is not None else N_REPS)
+    if extend is not None:
+        env["SPARK_GRAFT_BENCH_REP_EXTEND"] = str(extend)
     # Cluster-faithful heap: a real deployment holds PER-EXECUTOR memory
     # constant, so total heap scales with executor count. 1 GiB per core
     # here (A/B at 16 cores: 16g halved GC task-time vs the shared-8g
@@ -491,6 +497,44 @@ def _probe_quick() -> float:
     see main(). Noisier than the cached max-of-2 calibration probe, which
     the deferral threshold accounts for."""
     return round(_probe_run(4 * SCALE_N) / _probe_run(SCALE_N) / 4, 3)
+
+
+def _membw_run(ncpu: int) -> float:
+    """One pinned LLC-exceeding numpy copy loop per core; aggregate GB/s.
+
+    The ALU probe is blind to the socket-bandwidth degradation the r4 A/Bs
+    diagnosed as the job ratio's real ceiling (r5 run 6: ALU probe 0.966
+    while job legs ran ~20% slow and the pair read 0.606). This payload
+    streams 2x64 MB per process — far past any LLC — so its 4x ratio reads
+    the memory-bandwidth ceiling instead."""
+    import shutil
+    import subprocess
+
+    probe = (
+        "import numpy as np, time\n"
+        "a=np.zeros(8_000_000); b=np.ones(8_000_000)\n"
+        "t0=time.perf_counter(); n=0\n"
+        "while time.perf_counter()-t0 < 1.2:\n"
+        "    a[:]=b; n+=1\n"
+        "print(n*a.nbytes/(time.perf_counter()-t0))"
+    )
+    have_taskset = shutil.which("taskset")
+    procs = []
+    for i in range(ncpu):
+        cmd = [sys.executable, "-c", probe]
+        if have_taskset:
+            cmd = ["taskset", "-c", str(i)] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    return sum(float(p.communicate()[0]) for p in procs)
+
+
+def _membw_probe_quick() -> float:
+    """Single-rep memory-bandwidth window probe (~4-6 s): the 4x scaling
+    ratio of streaming-copy throughput. RECORDED per pair (not gated on —
+    no historical calibration data yet); if the accumulating
+    window_membw_4x record separates degraded-job windows the ALU probe
+    misses, a future round can promote it into the deferral gate."""
+    return round(_membw_run(4 * SCALE_N) / _membw_run(SCALE_N) / 4, 3)
 
 
 def _window_deferral(
@@ -585,8 +629,15 @@ def _run_one_pair(
     # pair keeps 2 reps and every leg's per-rep host attribution stays in
     # the JSON either way.
     if with_isoload:
+        # extend=0: the convergence extension exists for QUIET-leg JIT/
+        # page-cache warm-in; under deliberate self-load the rep series is
+        # contention noise (r5 run 6: 66.5 -> 48.3 -> 42.3 -> 64.7 s read
+        # as "converging" and ate ~130 s — pricing pair 2 out of the run)
+        # and a lower iso min can only LOWER the graded isoload ratio.
         with _selfload(3, SCALE_N, docs_path, media_path):
-            lo_iso = _run_extraction(SCALE_N, docs_path, media_path, reps=iso_reps)
+            lo_iso = _run_extraction(
+                SCALE_N, docs_path, media_path, reps=iso_reps, extend=0
+            )
         entry["sec_N_isoload"] = lo_iso["sec"]
         entry["docs_per_sec_N_isoload"] = lo_iso["docs_per_sec"]
         entry["efficiency_isoload"] = round(
@@ -1122,8 +1173,13 @@ def main() -> None:
             )
             # evidence for the deferral gate's future calibration: the
             # quick-probe draws taken before this pair ran (last one is
-            # the admitting draw)
+            # the admitting draw), plus the bandwidth ratio the ALU probe
+            # cannot see (recorded AFTER the pair so it cannot delay it)
             pairs[-1]["window_probe_4x"] = window_probes
+            try:
+                pairs[-1]["window_membw_4x"] = _membw_probe_quick()
+            except Exception:
+                pass
             extraction.update(_scaling_summary(pairs))
             return True
         except Exception as exc:
