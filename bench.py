@@ -722,6 +722,22 @@ def _scaling_summary(pairs: list[dict]) -> dict:
         ),
         "scaling_efficiency_best_ratio": round((best_4n / best_n) / 4, 3),
         "n_iso_legs": len(iso_pair_effs),
+        # Window-state evidence for the graded artifact: the best admitting
+        # ALU draw and best recorded bandwidth ratio across the run's pairs
+        # — a sub-clean reading here marks the run's scaling numbers as
+        # window-limited, not plan-limited (see BENCH/BASELINE.md r5 runs).
+        "window_alu_4x_best": max(
+            (d for p in pairs for d in p.get("window_probe_4x", [])),
+            default=None,
+        ),
+        "window_membw_4x_best": max(
+            (
+                p["window_membw_4x"]
+                for p in pairs
+                if p.get("window_membw_4x") is not None
+            ),
+            default=None,
+        ),
         "scaling_gate": {
             "raw_threshold": RAW_GATE,
             "iso_threshold": ISO_GATE,
@@ -1077,6 +1093,9 @@ def _emit(result: dict) -> None:
         "n_pairs": len(ex.get("pairs", []) or []),
         "n_iso_legs": ex.get("n_iso_legs"),
         "scaling_gate_met": (ex.get("scaling_gate") or {}).get("met"),
+        "window_alu_4x_best": ex.get("window_alu_4x_best"),
+        "window_membw_4x_best": ex.get("window_membw_4x_best"),
+        "scaling_deferred_s": ex.get("scaling_deferred_s"),
         "py_bytes_per_doc_full": ex.get("py_bytes_per_doc_full"),
         "previsacion_docs_per_sec": prev.get("docs_per_sec"),
         "previsacion_docs": prev.get("docs"),

@@ -285,3 +285,21 @@ def test_window_deferral_respects_total_budget_and_floor(bench):
         deferred_s=0.0,
     )
     assert draws == [0.5] and deferred == 0.0
+
+
+def test_window_probe_evidence_surfaces_in_summary(bench):
+    # the graded artifact must carry the run's window state: best admitting
+    # ALU draw and best recorded bandwidth ratio across pairs (None-safe
+    # when pairs predate the instrumentation or the membw probe failed).
+    p1 = _pair(0.60, 9000, 27000, 66.0, 22.0, iso=7000)
+    p1["window_probe_4x"] = [0.86, 0.95]
+    p1["window_membw_4x"] = 0.81
+    p2 = _pair(0.70, 9500, 28000, 63.0, 21.0)
+    p2["window_probe_4x"] = [0.99]
+    s = bench._scaling_summary([p1, p2])
+    assert s["window_alu_4x_best"] == 0.99
+    assert s["window_membw_4x_best"] == 0.81
+    # no probe data at all (legacy pair shape) -> keys present but None
+    s = bench._scaling_summary([_pair(0.6, 9000, 27000, 66.0, 22.0)])
+    assert s["window_alu_4x_best"] is None
+    assert s["window_membw_4x_best"] is None
