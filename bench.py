@@ -37,7 +37,8 @@ Env:
   SPARK_GRAFT_BENCH_RAW_GATE scaling-pair early-exit raw threshold (default 0.7)
   SPARK_GRAFT_BENCH_ISO_GATE scaling-pair early-exit isoload threshold (0.8)
   SPARK_GRAFT_BENCH_DEFER_THRESH  ALU window-probe ratio below which a pair is
-                             deferred (default 0.93; see DEFER_THRESH comment)
+                             deferred (default 0.93 when BENCH_N>=4, else 0 =
+                             never defer; see DEFER_THRESH comment)
   SPARK_GRAFT_BENCH_DEFER_SLEEP_S deferral sleep between re-probes (60)
   SPARK_GRAFT_BENCH_DEFER_MAX_S   total deferral budget per run (300)
   SPARK_GRAFT_BENCH_DIM1536_DOCS corpus size for the production-width
@@ -126,13 +127,23 @@ ISO_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_GATE", "0.8"))
 # up to DEFER_MAX_S total across the run, then run the pair regardless
 # (a measured sample beats none; degraded windows on this host last
 # ~10 min, so a cleared re-probe usually means the window turned).
-# NOTE the 0.93 threshold was calibrated on 4->16 probe draws; at the r5
-# N=2 default the 2->8 ALU ratio reads ~0.97 even in windows that degrade
-# 4->16 to 0.81 (the overcommit penalty the probe measures grows with
-# active-vCPU count), so the gate now only defers for catastrophically
-# bad windows — which is the intended behavior: 2->8 pairs don't need
-# deferral, and the budget stays with measured samples.
-DEFER_THRESH = float(os.environ.get("SPARK_GRAFT_BENCH_DEFER_THRESH", "0.93"))
+# The 0.93 threshold was calibrated on 4->16 probe draws, where the probe
+# separated gate-met from gate-missed runs perfectly. At the r5 N=2
+# default the calibration does NOT transfer: the 2->8 job ratio is
+# window-INsensitive (measured 0.813 under a probe-0.885/0.815 degraded
+# window — the best raw sample of the round — vs 0.778-0.810 under clean
+# probe-0.94-1.02 windows; BENCH/r5_run8 + r5_run9-12), so a sub-0.93
+# probe draw predicts nothing about the pair and a deferral sleep is pure
+# budget waste that can price a later pair out of the run. Deferral
+# therefore defaults OFF at N<4 (threshold 0 = the probe is still taken
+# once per pair and recorded as window evidence, but never sleeps);
+# setting SPARK_GRAFT_BENCH_N=4 restores the calibrated 0.93 gate, and
+# the env knob overrides either default.
+DEFER_THRESH = float(
+    os.environ.get(
+        "SPARK_GRAFT_BENCH_DEFER_THRESH", "0.93" if SCALE_N >= 4 else "0"
+    )
+)
 DEFER_SLEEP = float(os.environ.get("SPARK_GRAFT_BENCH_DEFER_SLEEP_S", "60"))
 DEFER_MAX_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEFER_MAX_S", "300"))
 _T0 = time.monotonic()
