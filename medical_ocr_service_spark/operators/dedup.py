@@ -609,3 +609,82 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def duplicated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", word-shingle form): for
+    every document, what fraction of its DISTINCT word n-grams also appears
+    in at least min_docs-1 OTHER documents — the per-doc contamination
+    score an exact-substring dedup pass thresholds on before cutting the
+    duplicated spans. Returns the top most-contaminated docs as
+    (doc_id, n_shingles, n_dup_shingles, dup_fraction).
+
+    Lee et al. build a corpus suffix array; that is a single-machine
+    formulation. The distributed equivalent for fixed n: explode n-grams,
+    count DISTINCT containing docs per gram, join the duplicated-gram set
+    back — every stage a hash aggregate/join Catalyst map-side combines.
+
+    Plan (100 TB-safe): one tokenize; (doc, gram-hash) deduped by an
+    aggregate keyed on xxhash64 of the gram so the gram-sized shuffles
+    carry 8-byte keys, never text (repo discipline: hashes cross shuffles);
+    doc-frequency per gram derives from that deduped frame (map-side
+    combine); the dup-flag join is gram-hash -> boolean on the SAME key the
+    aggregate just partitioned by, so the exchange is reused. Per-doc
+    rollup is one count/count-if aggregate; top-k a TakeOrdered under a
+    total order. The 64-bit gram-hash collision bound: P(any collision)
+    ~ G^2/2^65 for G distinct grams — at G = 10^12 (100 TB) that is ~3%
+    for ONE gram pair corpus-wide, shifting one doc's fraction by at most
+    one shingle; at test scale (G ~ 10^4..10^6) it is < 1e-7, so the
+    text-keyed DuckDB oracle hashes identically.
+
+    Only docs with >= n tokens produce shingles and only docs with at
+    least one duplicated shingle are returned (dup_fraction > 0).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\r]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_tk")).filter(
+        F.size("_tk") >= n
+    )
+    grams = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - n),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(F.col("_tk"), i + 1, n), " ")
+                ),
+            )
+        ).alias("gh"),
+    )
+    doc_shingles = grams.groupBy("_id", "gh").agg(F.lit(1).alias("_one"))
+    doc_freq = doc_shingles.groupBy("gh").agg(F.count("*").alias("nd"))
+    flagged = doc_shingles.join(
+        doc_freq.select("gh", (F.col("nd") >= min_docs).alias("is_dup")), "gh"
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_shingles"),
+    )
+    frac = F.col("n_dup_shingles").cast("double") / F.col(
+        "n_shingles"
+    ).cast("double")
+    return (
+        per_doc.filter(F.col("n_dup_shingles") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(frac, 9).alias("dup_fraction"),
+        )
+        .orderBy(F.desc("dup_fraction"), F.desc("n_dup_shingles"), F.asc(id_col))
+        .limit(top)
+    )

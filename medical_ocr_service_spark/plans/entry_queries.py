@@ -3459,6 +3459,125 @@ def length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pmi_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    uni AS (
+      SELECT u.t AS token, COUNT(*) AS c
+      FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+    tot AS (SELECT SUM(c) AS t_total FROM uni),
+    pr AS (
+      SELECT unnest(list_transform(
+               range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+      FROM toks WHERE len(tk) >= 2),
+    bg AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_pair
+      FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT w1 || ' ' || w2 AS gram, n_pair,
+           ROUND((CAST(n_pair AS DOUBLE) * CAST(t_total AS DOUBLE)) /
+                 (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.token
+    JOIN uni u2 ON bg.w2 = u2.token
+    CROSS JOIN tot
+    ORDER BY lift DESC, n_pair DESC, gram
+    LIMIT 30
+    """,
+)
+def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text_analysis.pmi_topk): top-30
+    adjacent word pairs by PMI lift c(xy)*T/(c(x)*c(y)) — the word2vec-
+    style phrase-promotion pass of a vocab pipeline. Log-free (lift is
+    PMI-monotone), exact integer counts, unhinted vocabulary joins (AQE
+    decides; a forced broadcast OOMs at web-scale vocab)."""
+    from ..operators.text_analysis import pmi_topk
+
+    return pmi_topk(
+        _t(spark, sf_dir, "documents"), "text", k=30, min_pair_count=5
+    )
+
+
+@query(
+    "dup_ngram_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \t\n\r]+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, len(tk) - 4),
+               i -> array_to_string(tk[i+1 : i+5], ' '))) AS gram
+      FROM toks WHERE len(tk) >= 5),
+    ds AS (SELECT DISTINCT doc_id, gram FROM sh),
+    gc AS (SELECT gram, COUNT(*) AS nd FROM ds GROUP BY 1),
+    per AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles
+      FROM ds d JOIN gc ON d.gram = gc.gram GROUP BY 1)
+    SELECT doc_id, n_shingles, n_dup_shingles,
+           ROUND(CAST(n_dup_shingles AS DOUBLE) /
+                 CAST(n_shingles AS DOUBLE), 9) AS dup_fraction
+    FROM per WHERE n_dup_shingles > 0
+    ORDER BY dup_fraction DESC, n_dup_shingles DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dup_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (operators/dedup.
+    duplicated_ngram_stats; Lee et al. 2022 word-shingle form): the 100
+    most-contaminated docs by fraction of distinct 5-gram shingles shared
+    with other docs. Gram-hash (xxhash64) keys cross the shuffles, never
+    text; the DuckDB oracle replays on the gram text (collision bound in
+    the operator docstring)."""
+    from ..operators.dedup import duplicated_ngram_stats
+
+    return duplicated_ngram_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=5, min_docs=2, top=100,
+    )
+
+
+@query(
+    "event_type_diversity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    per AS (
+      SELECT user_id, SUM(c) AS n_rows, COUNT(*) AS n_classes,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS ss
+      FROM c GROUP BY 1)
+    SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows, n_classes,
+           ROUND(CAST(ss AS DOUBLE) /
+                 (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 9)
+             AS simpson
+    FROM per
+    ORDER BY simpson DESC, n_rows DESC, user_id
+    LIMIT 50
+    """,
+)
+def event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user class-balance profile (operators/datasets.
+    group_diversity_stats): Simpson concentration over event types — the
+    log-free entropy screen that flags degenerate (bot-loop / single-
+    template) actors before they skew a training mix. Two map-side-combined
+    aggregates, DECIMAL-squared counts, one double division."""
+    from ..operators.datasets import group_diversity_stats
+
+    return group_diversity_stats(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", top=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window (round-3 reorder)
 # ---------------------------------------------------------------------------
@@ -3530,9 +3649,15 @@ _DRIVER_WINDOW: list[str] = [
     "a3_detail_stats",
     "j1_exact_shortcircuit",
     "t8_training_sample_limit",
-    "f2_normalize_for_embedding",
-    "f7_full_name_concat",
-    "f3_digit_strip",
+    # Slots 44-46: round-5 late registrations (pmi / dup-ngram / diversity)
+    # displace three trivial pure-scalar-function fills (f2/f7/f3, each
+    # r1+r3 driver-green on unchanged code AND pytest-held) — the written
+    # displacement rule: a new query may enter only over a multi-round-
+    # green unchanged entry, and first-ever driver proof for a new
+    # operator outranks a third re-proof of a one-expression query.
+    "pmi_top_bigrams",
+    "dup_ngram_contamination",
+    "event_type_diversity",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "doc_fingerprints",
@@ -3540,9 +3665,13 @@ _DRIVER_WINDOW: list[str] = [
     "f11_json_parse_rescue",
     "s10_export_join",
 ]
-# The 12 yielders this round (the only registered queries without an r4 or
+# The 15 yielders this round (the only registered queries without an r4 or
 # r5 driver row; every one is multi-round driver-green on unchanged code,
-# and six are additionally re-measured by this round's bench/pytest):
+# and six are additionally re-measured by this round's bench/pytest —
+# f2_normalize_for_embedding, f7_full_name_concat and f3_digit_strip
+# joined the list when the three late round-5 registrations took their
+# rotation slots; each is r1+r3 driver-green, a single pure-function
+# projection, and pytest-held):
 #   q1_pricing_summary, a1_customer_rollup          r1+r2+r3 driver-green
 #   ann_cosine_topk, j8_detail_enrichment_3way,
 #   j11_training_antijoin, f8_content_hash_dedup    r3 driver-green + in
@@ -3557,8 +3686,8 @@ _DRIVER_WINDOW: list[str] = [
 #                                                   (p1: tenant-isolation
 #                                                   suite; d4: golden; f12/
 #                                                   f13: JVM-twin tests)
-# All 107 registered queries therefore hold a driver row from r4 or r5
-# except these 12, each r3-fresh — nothing is more than 2 rounds stale.
+# All 110 registered queries therefore hold a driver row from r4 or r5
+# except these 15, each r3-fresh — nothing is more than 2 rounds stale.
 
 
 def _apply_driver_window() -> None:

@@ -665,3 +665,111 @@ def test_exact_grouped_quantiles_matches_percentile(spark):
         .collect()
     }
     assert {g: t[1:] for g, t in got.items()} == ref
+
+
+def test_pmi_topk_promotes_rare_collocation(spark):
+    from medical_ocr_service_spark.operators.text_analysis import pmi_topk
+
+    # 'zq yw' co-occur ONLY with each other (perfect collocation) while
+    # 'a b' pairs among the corpus-dominant tokens -> lift('zq yw') must
+    # rank first even though 'a b' is far more frequent.
+    rows = [(i, "a b a b a b") for i in range(10)] + [
+        (100 + i, "zq yw") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_topk(df, "text", k=5, min_pair_count=2).collect()
+    assert out[0]["gram"] == "zq yw"
+    # T=66 tokens, c(zq)=c(yw)=3, n_pair=3 -> lift = 3*66/(3*3) = 22.0
+    assert out[0]["n_pair"] == 3
+    assert abs(out[0]["lift"] - 22.0) < 1e-9
+    # 'a b': n_pair=30, c(a)=c(b)=30 -> 30*66/900 = 2.2
+    ab = next(r for r in out if r["gram"] == "a b")
+    assert abs(ab["lift"] - 2.2) < 1e-9
+
+
+def test_pmi_topk_min_pair_count_prunes(spark):
+    from medical_ocr_service_spark.operators.text_analysis import pmi_topk
+
+    df = spark.createDataFrame(
+        [(1, "u v"), (2, "x y x y x y")], ["doc_id", "text"]
+    )
+    grams = {r["gram"] for r in pmi_topk(df, "text", k=10, min_pair_count=2).collect()}
+    assert "u v" not in grams  # seen once < min_pair_count
+    assert "x y" in grams
+
+
+def test_dup_ngram_stats_cross_doc_and_within_doc_distinct(spark):
+    from medical_ocr_service_spark.operators.dedup import duplicated_ngram_stats
+
+    shared = "one two three four five"
+    rows = [
+        # doc 1 repeats the shared phrase twice -> the shingle still counts
+        # ONCE per doc (distinct), and doc-frequency is 2 docs, not 3.
+        (1, shared + " " + shared),
+        (2, shared + " six seven eight nine ten"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_stats(
+            df, "text", "doc_id", n=5, min_docs=2, top=10
+        ).collect()
+    }
+    assert 3 not in out  # no shingle shared with another doc
+    # doc1: tokens = shared*2 (10 tokens) -> 6 shingle positions, some
+    # colliding after distinct; the 'one two three four five' shingle is
+    # duplicated (also in doc2). doc2 shares exactly that one shingle.
+    assert out[2]["n_shingles"] == 6  # 10 tokens -> 6 distinct 5-grams
+    assert out[2]["n_dup_shingles"] == 1
+    assert abs(out[2]["dup_fraction"] - round(1 / 6, 9)) < 1e-12
+    assert out[1]["n_dup_shingles"] == 1
+    # doc ordering: higher fraction first (doc1 has fewer distinct shingles)
+    fracs = [r["dup_fraction"] for r in out.values()]
+    assert all(f > 0 for f in fracs)
+
+
+def test_dup_ngram_stats_short_docs_excluded(spark):
+    from medical_ocr_service_spark.operators.dedup import duplicated_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    assert (
+        duplicated_ngram_stats(df, "text", "doc_id", n=5, min_docs=2).count()
+        == 0
+    )
+
+
+def test_group_diversity_simpson_values(spark):
+    from medical_ocr_service_spark.operators.datasets import group_diversity_stats
+
+    rows = (
+        [(1, "x")] * 4  # degenerate: single class -> simpson 1.0
+        + [(2, "x"), (2, "y"), (2, "x"), (2, "y")]  # balanced -> 0.5
+        + [(3, "x"), (3, "x"), (3, "x"), (3, "y")]  # skewed -> 10/16
+    )
+    df = spark.createDataFrame(rows, ["uid", "cls"])
+    out = {r["uid"]: r for r in group_diversity_stats(df, "uid", "cls").collect()}
+    assert out[1]["simpson"] == 1.0 and out[1]["n_classes"] == 1
+    assert abs(out[2]["simpson"] - 0.5) < 1e-12
+    assert abs(out[3]["simpson"] - 0.625) < 1e-12
+    assert out[3]["n_rows"] == 4
+    # degenerate group sorts first
+    first = group_diversity_stats(df, "uid", "cls").collect()[0]
+    assert first["uid"] == 1
+
+
+def test_pmi_topk_no_vocab_broadcast_hint(spark):
+    """Same discipline as the bm25/familiarity scorers: the two unigram-
+    count joins are unhinted (AQE decides; web-scale vocab would OOM a
+    forced broadcast); only the 1-row corpus-total frame carries a hint,
+    and the token/pair aggregates map-side combine."""
+    from medical_ocr_service_spark.operators.text_analysis import pmi_topk
+
+    rows = [(i, f"tok{i % 7} the and tok{i % 11}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_topk(df, "text", k=5, min_pair_count=1)
+    qe = out._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
+    assert "partial_" in qe.executedPlan().toString()
