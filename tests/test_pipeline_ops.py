@@ -773,3 +773,107 @@ def test_pmi_topk_no_vocab_broadcast_hint(spark):
     qe = out._jdf.queryExecution()
     assert qe.analyzed().toString().count("ResolvedHint") == 1
     assert "partial_" in qe.executedPlan().toString()
+
+
+def test_dup_ngram_stats_fuzz_vs_bruteforce(spark):
+    """duplicated_ngram_stats must equal the quadratic per-doc brute force
+    (python sets of word 5-gram strings) on random word soups — including
+    within-doc repeats, short docs, and docs that are pure copies."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from medical_ocr_service_spark.operators.dedup import duplicated_ngram_stats
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=7))
+    def run(texts):
+        n = 3
+        shingle_sets = {}
+        for i, t in enumerate(texts):
+            w = [x for x in t.lower().split() if x]
+            shingle_sets[i] = {
+                " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+            } if len(w) >= n else set()
+        expected = {}
+        for i, s in shingle_sets.items():
+            if not s:
+                continue
+            dup = {
+                g
+                for g in s
+                if any(g in shingle_sets[j] for j in shingle_sets if j != i)
+            }
+            if dup:
+                expected[i] = (len(s), len(dup), round(len(dup) / len(s), 9))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_shingles"],
+                r["n_dup_shingles"],
+                r["dup_fraction"],
+            )
+            for r in duplicated_ngram_stats(
+                df, "text", "doc_id", n=n, min_docs=2, top=100
+            ).collect()
+        }
+        assert got == expected, (texts, got, expected)
+
+    run()
+
+
+def test_pmi_topk_fuzz_vs_bruteforce(spark):
+    """pmi_topk must equal the brute-force count arithmetic on random
+    token streams (Counter-based unigram/bigram counts, identical lift
+    formula and tie-break)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from medical_ocr_service_spark.operators.text_analysis import pmi_topk
+
+    word = st.sampled_from(["p", "q", "r", "s"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        uni, bi = Counter(), Counter()
+        for t in texts:
+            w = [x for x in t.lower().split() if x]
+            uni.update(w)
+            bi.update(zip(w, w[1:]))
+        t_total = sum(uni.values())
+        rows = [
+            (
+                f"{a} {b}",
+                c,
+                round((float(c) * float(t_total)) / (float(uni[a]) * float(uni[b])), 6),
+            )
+            for (a, b), c in bi.items()
+            if c >= 2
+        ]
+        expected = sorted(rows, key=lambda r: (-r[2], -r[1], r[0]))[:10]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            (r["gram"], r["n_pair"], r["lift"])
+            for r in pmi_topk(df, "text", k=10, min_pair_count=2).collect()
+        ]
+        assert got == expected, (texts, got, expected)
+
+    run()
