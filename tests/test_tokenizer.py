@@ -119,3 +119,30 @@ def test_bpe_encode_roundtrip_and_word_isolation(spark):
     # reproduces the doc's words exactly
     for i, t in enumerate(texts):
         assert "".join(enc[i]) == "".join(t.lower().split())
+
+
+def test_learn_bpe_merges_fuzz_vs_reference(spark):
+    """Random small corpora: the distributed trainer's merge table must
+    equal the reference implementation's for every draw (tie-breaks
+    included — the sampled two-letter alphabet forces heavy count ties)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = learn_bpe_merges(df, "text", n_merges=6, checkpoint_every=2)
+        ref, _ = _ref_bpe(texts, 6)
+        assert got == ref, (texts, got, ref)
+
+    run()
