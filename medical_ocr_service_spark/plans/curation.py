@@ -22,6 +22,15 @@ without a materialization each branch would re-execute the trunk AND
 double-count the observed metrics. Persisting the filtered corpus before
 multi-pass dedup is exactly what a production run does. The final count
 observes on the output and lands with the caller's own action.
+
+localCheckpoint trades fault-tolerance for speed (blocks live on executor
+local disk; an executor loss makes them unrecoverable). At test/bench
+scale that is the right call; a 10^12-doc run would swap the checkpoint
+for a durable materialization — write the cleaned corpus to parquet (or a
+SnapshotTable commit, which also records the trunk counters in its
+manifest) and read it back for the dedup stages. The plan shape and the
+counter semantics are identical either way; only the barrier's storage
+differs.
 """
 
 from __future__ import annotations
