@@ -877,3 +877,65 @@ def test_pmi_topk_fuzz_vs_bruteforce(spark):
         assert got == expected, (texts, got, expected)
 
     run()
+
+
+def _md5_gate(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+
+
+def test_mixture_sample_exact_membership(spark):
+    """Temperature mixing: the kept set must equal the Python reference
+    (same md5 gate, same integer thresholds) and the binding group must be
+    kept whole."""
+    from medical_ocr_service_spark.operators.datasets import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(40)]
+        + [(100 + i, "books") for i in range(40)]
+        + [(200 + i, "code") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    weights = {"web": 1.0, "books": 1.0, "code": 4.0}
+    out = mixture_sample(df, "source", weights, temperature=0.5)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+
+    # reference: p = (1,1,2)/4 -> T = min(40/.25, 40/.25, 20/.5) = 40
+    # keep rates = (.25, .25, 1.0)
+    target = {"web": 0.25, "books": 0.25, "code": 0.5}
+    counts = {"web": 40, "books": 40, "code": 20}
+    total = min(counts[g] / target[g] for g in counts)
+    thr = {
+        g: min(1 << 32, int(total * target[g] / counts[g] * (1 << 32)))
+        for g in counts
+    }
+    expected = {
+        (i, s) for i, s in rows if _md5_gate(str(i)) < thr[s]
+    }
+    assert got == expected
+    # binding group kept whole
+    assert sum(1 for _, s in got if s == "code") == 20
+    # non-binding groups thinned to ~rate (exact set already checked)
+    assert 0 < sum(1 for _, s in got if s == "web") < 40
+
+
+def test_mixture_sample_temperature_limits(spark):
+    from medical_ocr_service_spark.operators.datasets import mixture_sample
+
+    rows = [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # t=0 flattens to uniform: p=(.5,.5), T=min(30/.5, 10/.5)=20 ->
+    # keep rates (1/3, 1.0): all of 'b' survives
+    out0 = mixture_sample(df, "source", {"a": 9.0, "b": 1.0}, temperature=0.0)
+    assert out0.filter(F.col("source") == "b").count() == 10
+    # t=1 with raw weights 9:1 -> p=(.9,.1), T=min(30/.9, 10/.1)=33.3 ->
+    # 'a' binds (rate 1.0), b rate = 33.3*0.1/10 = 1/3
+    out1 = mixture_sample(df, "source", {"a": 9.0, "b": 1.0}, temperature=1.0)
+    assert out1.filter(F.col("source") == "a").count() == 30
+    # groups outside the mix are dropped entirely
+    extra = spark.createDataFrame([(999, "junk")], ["doc_id", "source"])
+    out2 = mixture_sample(
+        df.union(extra), "source", {"a": 1.0, "b": 1.0}, temperature=1.0
+    )
+    assert out2.filter(F.col("source") == "junk").count() == 0
