@@ -97,6 +97,20 @@ def train_quality_classifier(
         maxIter=max_iter, regParam=0.01, standardization=True
     )
     model = lr.fit(train)
+    # Persist + reload the trained artifact before serving. Not just
+    # hygiene: the freshly-fit model carries its trainingSummary, which
+    # references the SparkSession (whose ObservationManager is not
+    # serializable) — transform() then ships the model to executors and
+    # dies with Task-not-serializable whenever the session has live
+    # observation state. The reloaded model is summary-free, and a real
+    # deployment persists the artifact anyway.
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="quality_lr_")
+    model.write().overwrite().save(path)
+    model = LogisticRegressionModel.load(path)
     scored_test = model.transform(test)
     auc = BinaryClassificationEvaluator(
         rawPredictionCol="rawPrediction"
